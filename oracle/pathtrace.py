@@ -1,0 +1,208 @@
+"""Tiny deterministic path tracer — numpy float64 oracle.
+
+Mirrors the reference's `trace_path` loop (SURVEY.md §3.1
+[U:libs/yocto/yocto_trace.cpp]): intersect -> emission/env -> direct
+lighting -> BSDF sample -> Russian roulette — restricted to the scene
+features the correctness ladder needs (hair segments, diffuse
+spheres/planes, point lights, constant environment).
+
+Determinism contract: all randomness comes from the caller-provided
+`uniforms` tensor of shape (n_rays, 2 + max_depth * 6):
+  [0:2]                          subpixel jitter
+  [2 + 6*d : 2 + 6*d + 4]        BSDF sample at bounce d
+  [2 + 6*d + 4]                  Russian roulette at bounce d
+  [2 + 6*d + 5]                  spare (light selection; unused — all
+                                 point lights are summed deterministically)
+The JAX integrator consumes the SAME layout, so feeding both the same
+uniforms must reproduce the same image up to float32 tolerance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import geometry as geo
+from .hair_bsdf import HairBSDF
+
+RR_START = 3
+D_PIXEL = 2
+D_BOUNCE = 6
+
+
+def n_uniform_dims(max_depth):
+    return D_PIXEL + D_BOUNCE * max_depth
+
+
+def _to_local(w, fx, fy, fz):
+    return np.stack([np.sum(w * fx, -1), np.sum(w * fy, -1),
+                     np.sum(w * fz, -1)], axis=-1)
+
+
+def _to_world(w, fx, fy, fz):
+    return (w[..., 0:1] * fx + w[..., 1:2] * fy + w[..., 2:3] * fz)
+
+
+def _intersect_scene(scene, o, d):
+    """Closest hit over all scene geometry. Returns per-ray dict with
+    mat: -1 = miss, 0 = hair, 1 = diffuse."""
+    n = o.shape[0]
+    best = {
+        "hit": np.zeros(n, bool), "t": np.full(n, geo.INF),
+        "mat": np.full(n, -1, np.int64),
+        "position": np.zeros((n, 3)), "normal": np.zeros((n, 3)),
+        "tangent": np.zeros((n, 3)), "frame_y": np.zeros((n, 3)),
+        "frame_z": np.zeros((n, 3)), "h": np.zeros(n),
+        "radius": np.zeros(n), "albedo": np.zeros((n, 3)),
+    }
+    if scene.get("segments") is not None:
+        p0, p1, r0, r1 = scene["segments"]
+        hs = geo.intersect_segments(o, d, p0, p1, r0, r1)
+        closer = hs["hit"] & (hs["t"] < best["t"])
+        best["hit"] |= closer
+        best["t"] = np.where(closer, hs["t"], best["t"])
+        best["mat"] = np.where(closer, 0, best["mat"])
+        for k in ("position", "tangent", "frame_y", "frame_z"):
+            best[k] = np.where(closer[:, None], hs[k], best[k])
+        best["h"] = np.where(closer, hs["h"], best["h"])
+        seg_r = (hs["u"] * (r1 - r0)[hs["seg"]] + r0[hs["seg"]])
+        best["radius"] = np.where(closer, seg_r, best["radius"])
+    for sph in scene.get("spheres", []):
+        hs = geo.intersect_sphere(o, d, np.asarray(sph["center"], np.float64),
+                                  sph["radius"])
+        closer = hs["hit"] & (hs["t"] < best["t"])
+        best["hit"] |= closer
+        best["t"] = np.where(closer, hs["t"], best["t"])
+        best["mat"] = np.where(closer, 1, best["mat"])
+        for k in ("position", "normal"):
+            best[k] = np.where(closer[:, None], hs[k], best[k])
+        best["albedo"] = np.where(closer[:, None],
+                                  np.asarray(sph["albedo"], np.float64),
+                                  best["albedo"])
+    for pl in scene.get("planes", []):
+        hs = geo.intersect_plane(o, d, np.asarray(pl["point"], np.float64),
+                                 np.asarray(pl["normal"], np.float64),
+                                 )
+        closer = hs["hit"] & (hs["t"] < best["t"])
+        best["hit"] |= closer
+        best["t"] = np.where(closer, hs["t"], best["t"])
+        best["mat"] = np.where(closer, 1, best["mat"])
+        for k in ("position", "normal"):
+            best[k] = np.where(closer[:, None], hs[k], best[k])
+        best["albedo"] = np.where(closer[:, None],
+                                  np.asarray(pl["albedo"], np.float64),
+                                  best["albedo"])
+    return best
+
+
+def _occluded(scene, o, d, dist):
+    """Any-hit between o and o + d*dist (for shadow rays)."""
+    hs = _intersect_scene(scene, o, d)
+    return hs["hit"] & (hs["t"] < dist * (1.0 - 1e-4))
+
+
+def _hair_bsdf(scene, h):
+    m = scene["hair_material"]
+    return HairBSDF(h=h, sigma_a=np.asarray(m["sigma_a"], np.float64),
+                    beta_m=m["beta_m"], beta_n=m["beta_n"],
+                    alpha=m.get("alpha", np.deg2rad(2.0)),
+                    eta=m.get("eta", 1.55))
+
+
+def trace(scene, o, d, uniforms, max_depth=4):
+    """Path-trace a batch of rays. Returns (n, 3) radiance."""
+    n = o.shape[0]
+    L = np.zeros((n, 3))
+    beta = np.ones((n, 3))
+    alive = np.ones(n, bool)
+    env = np.asarray(scene.get("environment", [0.0, 0.0, 0.0]), np.float64)
+    lights = scene.get("point_lights", [])
+
+    for depth in range(max_depth):
+        hs = _intersect_scene(scene, o, d)
+        # environment on miss
+        miss = alive & ~hs["hit"]
+        L[miss] += beta[miss] * env
+        alive = alive & hs["hit"]
+        if not alive.any():
+            break
+
+        is_hair = hs["mat"] == 0
+        pos = hs["position"]
+        # shading frames
+        fx = np.where(is_hair[:, None], hs["tangent"], 0.0)
+        fy = np.where(is_hair[:, None], hs["frame_y"], 0.0)
+        fz = np.where(is_hair[:, None], hs["frame_z"], hs["normal"])
+        # diffuse frame: build any tangent basis around the normal
+        nrm = hs["normal"]
+        a = np.where(np.abs(nrm[:, 0:1]) > 0.9, np.array([[0.0, 1.0, 0.0]]),
+                     np.array([[1.0, 0.0, 0.0]]))
+        t1 = geo.normalize(np.cross(nrm, a))
+        t2 = np.cross(nrm, t1)
+        fx = np.where(is_hair[:, None], fx, t1)
+        fy = np.where(is_hair[:, None], fy, t2)
+
+        wo_w = -d
+        wo = _to_local(wo_w, fx, fy, fz)
+        bsdf = _hair_bsdf(scene, hs["h"])
+
+        # ---- direct lighting: sum over all point lights (deterministic)
+        ray_eps = np.where(is_hair, 2.0 * hs["radius"], 1e-4)
+        for light in lights:
+            lp = np.asarray(light["position"], np.float64)
+            li = np.asarray(light["intensity"], np.float64)
+            to_l = lp - pos
+            dist = np.linalg.norm(to_l, axis=-1)
+            wi_w = to_l / np.maximum(dist[:, None], 1e-12)
+            sh_o = pos + wi_w * ray_eps[:, None]
+            vis = ~_occluded(scene, sh_o, wi_w, dist - ray_eps)
+            wi = _to_local(wi_w, fx, fy, fz)
+            f_hair = bsdf.f(wo, wi) * np.abs(wi[:, 2:3])
+            f_diff = hs["albedo"] / np.pi * np.maximum(wi[:, 2:3], 0.0)
+            f = np.where(is_hair[:, None], f_hair, f_diff)
+            contrib = beta * f * li / np.maximum(dist[:, None] ** 2, 1e-12)
+            L += np.where((alive & vis)[:, None], contrib, 0.0)
+
+        # ---- BSDF sampling for the next bounce
+        ub = uniforms[:, D_PIXEL + D_BOUNCE * depth:
+                      D_PIXEL + D_BOUNCE * depth + 4]
+        f_h, wi_h, pdf_h = bsdf.sample_f(wo, ub)
+        w_hair = f_h * np.abs(wi_h[:, 2:3]) / np.maximum(pdf_h[:, None], 1e-12)
+        w_hair = np.where((pdf_h > 1e-12)[:, None], w_hair, 0.0)
+        # diffuse: cosine hemisphere
+        r = np.sqrt(ub[:, 0])
+        phi = 2.0 * np.pi * ub[:, 1]
+        wi_d = np.stack([r * np.cos(phi), r * np.sin(phi),
+                         np.sqrt(np.maximum(0.0, 1.0 - ub[:, 0]))], axis=-1)
+        w_diff = hs["albedo"]  # f * cos / pdf = albedo for cosine sampling
+        wi = np.where(is_hair[:, None], wi_h, wi_d)
+        weight = np.where(is_hair[:, None], w_hair, w_diff)
+
+        beta = beta * weight
+        d = geo.normalize(_to_world(wi, fx, fy, fz))
+        o = pos + d * ray_eps[:, None]
+        alive = alive & (np.max(np.abs(beta), axis=-1) > 0)
+
+        # ---- Russian roulette
+        if depth >= RR_START:
+            u_rr = uniforms[:, D_PIXEL + D_BOUNCE * depth + 4]
+            p_cont = np.clip(np.max(beta, axis=-1), 0.05, 1.0)
+            die = u_rr > p_cont
+            alive = alive & ~die
+            beta = beta / p_cont[:, None]
+
+        if not alive.any():
+            break
+    return L
+
+
+def render(scene, cam, uniforms, max_depth=4):
+    """Render an image. uniforms: (H, W, spp, n_uniform_dims). -> (H, W, 3)."""
+    h, w, spp, _ = uniforms.shape
+    jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    i = np.repeat(ii.reshape(-1), spp)
+    j = np.repeat(jj.reshape(-1), spp)
+    u = uniforms.reshape(h * w * spp, -1)
+    cam = dict(cam, width=w, height=h)
+    o, d = geo.camera_rays(cam, i, j, u[:, :2])
+    L = trace(scene, o, d, u, max_depth=max_depth)
+    return L.reshape(h, w, spp, 3).mean(axis=2)
