@@ -129,8 +129,9 @@ def alpha_terms(alpha):
     sin_2k = [np.sin(alpha)]
     cos_2k = [np.cos(alpha)]
     for _ in range(2):
-        sin_2k.append(2.0 * cos_2k[-1] * sin_2k[-1])
-        cos_2k.append(cos_2k[-1] ** 2 - sin_2k[-1] ** 2)
+        s_prev, c_prev = sin_2k[-1], cos_2k[-1]
+        sin_2k.append(2.0 * c_prev * s_prev)
+        cos_2k.append(c_prev ** 2 - s_prev ** 2)
     return np.stack(sin_2k, axis=-1), np.stack(cos_2k, axis=-1)
 
 

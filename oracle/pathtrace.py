@@ -100,8 +100,8 @@ def _occluded(scene, o, d, dist):
     return hs["hit"] & (hs["t"] < dist * (1.0 - 1e-4))
 
 
-def _hair_bsdf(scene, h):
-    m = scene["hair_material"]
+def _hair_bsdf(scene, h, key="hair_material"):
+    m = scene.get(key) or scene["hair_material"]
     return HairBSDF(h=h, sigma_a=np.asarray(m["sigma_a"], np.float64),
                     beta_m=m["beta_m"], beta_n=m["beta_n"],
                     alpha=m.get("alpha", np.deg2rad(2.0)),
@@ -113,6 +113,10 @@ def trace(scene, o, d, uniforms, max_depth=4):
     n = o.shape[0]
     L = np.zeros((n, 3))
     beta = np.ones((n, 3))
+    # base-material throughput: drives RR and liveness decisions so they
+    # stay fixed under eval-material perturbations (matches the JAX
+    # integrator's stop_gradient policy)
+    beta_base = np.ones((n, 3))
     alive = np.ones(n, bool)
     env = np.asarray(scene.get("environment", [0.0, 0.0, 0.0]), np.float64)
     lights = scene.get("point_lights", [])
@@ -143,7 +147,14 @@ def trace(scene, o, d, uniforms, max_depth=4):
 
         wo_w = -d
         wo = _to_local(wo_w, fx, fy, fz)
+        # `hair_material` drives sampling decisions; the optional
+        # `hair_material_eval` key drives f-evaluation. Splitting them makes
+        # finite differences over the eval material compute exactly the
+        # detached-sampling gradient estimator the JAX integrator uses
+        # (directions/pdf frozen at base parameters).
         bsdf = _hair_bsdf(scene, hs["h"])
+        bsdf_eval = (_hair_bsdf(scene, hs["h"], "hair_material_eval")
+                     if scene.get("hair_material_eval") else bsdf)
 
         # ---- direct lighting: sum over all point lights (deterministic)
         ray_eps = np.where(is_hair, 2.0 * hs["radius"], 1e-4)
@@ -156,7 +167,7 @@ def trace(scene, o, d, uniforms, max_depth=4):
             sh_o = pos + wi_w * ray_eps[:, None]
             vis = ~_occluded(scene, sh_o, wi_w, dist - ray_eps)
             wi = _to_local(wi_w, fx, fy, fz)
-            f_hair = bsdf.f(wo, wi) * np.abs(wi[:, 2:3])
+            f_hair = bsdf_eval.f(wo, wi) * np.abs(wi[:, 2:3])
             f_diff = hs["albedo"] / np.pi * np.maximum(wi[:, 2:3], 0.0)
             f = np.where(is_hair[:, None], f_hair, f_diff)
             contrib = beta * f * li / np.maximum(dist[:, None] ** 2, 1e-12)
@@ -166,8 +177,12 @@ def trace(scene, o, d, uniforms, max_depth=4):
         ub = uniforms[:, D_PIXEL + D_BOUNCE * depth:
                       D_PIXEL + D_BOUNCE * depth + 4]
         f_h, wi_h, pdf_h = bsdf.sample_f(wo, ub)
-        w_hair = f_h * np.abs(wi_h[:, 2:3]) / np.maximum(pdf_h[:, None], 1e-12)
+        f_h_eval = bsdf_eval.f(wo, wi_h) if bsdf_eval is not bsdf else f_h
+        denom_pdf = np.maximum(pdf_h[:, None], 1e-12)
+        w_hair = f_h_eval * np.abs(wi_h[:, 2:3]) / denom_pdf
         w_hair = np.where((pdf_h > 1e-12)[:, None], w_hair, 0.0)
+        w_hair_base = f_h * np.abs(wi_h[:, 2:3]) / denom_pdf
+        w_hair_base = np.where((pdf_h > 1e-12)[:, None], w_hair_base, 0.0)
         # diffuse: cosine hemisphere
         r = np.sqrt(ub[:, 0])
         phi = 2.0 * np.pi * ub[:, 1]
@@ -176,19 +191,22 @@ def trace(scene, o, d, uniforms, max_depth=4):
         w_diff = hs["albedo"]  # f * cos / pdf = albedo for cosine sampling
         wi = np.where(is_hair[:, None], wi_h, wi_d)
         weight = np.where(is_hair[:, None], w_hair, w_diff)
+        weight_base = np.where(is_hair[:, None], w_hair_base, w_diff)
 
         beta = beta * weight
+        beta_base = beta_base * weight_base
         d = geo.normalize(_to_world(wi, fx, fy, fz))
         o = pos + d * ray_eps[:, None]
-        alive = alive & (np.max(np.abs(beta), axis=-1) > 0)
+        alive = alive & (np.max(np.abs(beta_base), axis=-1) > 0)
 
-        # ---- Russian roulette
+        # ---- Russian roulette (decisions from base throughput)
         if depth >= RR_START:
             u_rr = uniforms[:, D_PIXEL + D_BOUNCE * depth + 4]
-            p_cont = np.clip(np.max(beta, axis=-1), 0.05, 1.0)
+            p_cont = np.clip(np.max(beta_base, axis=-1), 0.05, 1.0)
             die = u_rr > p_cont
             alive = alive & ~die
             beta = beta / p_cont[:, None]
+            beta_base = beta_base / p_cont[:, None]
 
         if not alive.any():
             break

@@ -1,0 +1,363 @@
+"""pbrt-v3 hair scattering model in JAX — eval / sample / pdf.
+
+TPU-native re-implementation of the reference's hair extension
+(SURVEY.md §2.8; reference symbols hair_brdf / eval_hair_scattering /
+sample_hair_scattering / sample_hair_scattering_pdf
+[U:libs/yocto_extension/yocto_extension.cpp]). Semantics match
+`oracle/hair_bsdf.py` (the float64 ground truth) to f32 tolerance; tested
+in tests/test_jax_hair.py.
+
+Design notes (TPU-first):
+  * Pure functions over a `HairMaterial` pytree; everything is `jit`-able,
+    `vmap`-free (explicitly batched over leading dims) and differentiable
+    w.r.t. sigma_a / beta_m / beta_n / alpha.
+  * All four lobes (R, TT, TRT, residual) are computed unrolled and summed
+    — no data-dependent control flow; lobe selection in `sample` is a
+    pure `where` cascade so it fuses into one VPU pass.
+  * f32-hardened: LogI0 large-argument branch, clamped denominators,
+    logistic tails in exp space.
+
+Convention (pbrt's, same as the oracle): local frame x = strand tangent,
+sin(theta) = w.x, phi = atan2(w.z, w.y); `f` carries a 1/|w_i.z| factor
+which the integrator cancels with its |cos| term.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+P_MAX = 3
+SQRT_PI_OVER_8 = 0.626657069
+TWO_PI = 6.283185307179586
+
+
+class HairMaterial(NamedTuple):
+    """Differentiable hair material parameters (a pytree).
+
+    Matches the reference material extension fields (SURVEY.md §2.5):
+    sigma_a (absorption, (3,)), beta_m/beta_n (roughness), alpha (scale
+    tilt, radians), eta (IOR). Fields may be scalars or broadcastable to
+    the shading batch.
+    """
+
+    sigma_a: jax.Array
+    beta_m: jax.Array
+    beta_n: jax.Array
+    alpha: jax.Array
+    eta: jax.Array
+
+    @classmethod
+    def make(cls, sigma_a, beta_m=0.3, beta_n=0.3, alpha=0.0349066,
+             eta=1.55, dtype=jnp.float32):
+        return cls(jnp.asarray(sigma_a, dtype), jnp.asarray(beta_m, dtype),
+                   jnp.asarray(beta_n, dtype), jnp.asarray(alpha, dtype),
+                   jnp.asarray(eta, dtype))
+
+
+# ---------------------------------------------------------------------------
+# scalar helpers (all shape-preserving, f32-safe)
+
+
+def _safe_sqrt(x):
+    return jnp.sqrt(jnp.maximum(x, 0.0))
+
+
+def _safe_asin(x):
+    return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+
+
+def _i0(x):
+    """Modified Bessel I0, 10-term even series (pbrt's I0)."""
+    x2 = x * x
+    val = jnp.ones_like(x)
+    term = jnp.ones_like(x)
+    # term_i = x^{2i} / (4^i (i!)^2); ratio term_i/term_{i-1} = x2/(4 i^2)
+    for i in range(1, 10):
+        term = term * x2 / (4.0 * i * i)
+        val = val + term
+    return val
+
+
+def _log_i0(x):
+    big = x + 0.5 * (-jnp.log(TWO_PI) + jnp.log(1.0 / jnp.maximum(x, 1e-30))
+                     + 1.0 / (8.0 * jnp.maximum(x, 1e-30)))
+    small = jnp.log(_i0(jnp.minimum(x, 12.0)))
+    return jnp.where(x > 12.0, big, small)
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _logistic(x, s):
+    x = jnp.abs(x)
+    e = jnp.exp(-x / s)
+    return e / (s * (1.0 + e) ** 2)
+
+
+def _logistic_cdf(x, s):
+    return _sigmoid(x / s)
+
+
+def _trimmed_logistic(x, s, a, b):
+    return _logistic(x, s) / (_logistic_cdf(b, s) - _logistic_cdf(a, s))
+
+
+def _sample_trimmed_logistic(u, s, a, b):
+    k = _logistic_cdf(b, s) - _logistic_cdf(a, s)
+    denom = jnp.clip(u * k + _logistic_cdf(a, s), 1e-30, None)
+    x = -s * jnp.log(1.0 / denom - 1.0)
+    return jnp.clip(x, a, b)
+
+
+def fr_dielectric(cos_theta_i, eta):
+    """Unpolarized dielectric Fresnel (external eta_i=1)."""
+    cos_theta_i = jnp.clip(cos_theta_i, -1.0, 1.0)
+    entering = cos_theta_i > 0
+    eta_i = jnp.where(entering, 1.0, eta)
+    eta_t = jnp.where(entering, eta, 1.0)
+    ci = jnp.abs(cos_theta_i)
+    sin_t = eta_i / eta_t * _safe_sqrt(1.0 - ci * ci)
+    ct = _safe_sqrt(1.0 - sin_t * sin_t)
+    r_parl = (eta_t * ci - eta_i * ct) / jnp.maximum(eta_t * ci + eta_i * ct,
+                                                     1e-30)
+    r_perp = (eta_i * ci - eta_t * ct) / jnp.maximum(eta_i * ci + eta_t * ct,
+                                                     1e-30)
+    fr = 0.5 * (r_parl * r_parl + r_perp * r_perp)
+    return jnp.where(sin_t >= 1.0, jnp.ones_like(fr), fr)
+
+
+# ---------------------------------------------------------------------------
+# parameter remaps
+
+
+def roughness_to_v(beta_m):
+    """-> tuple of 4 per-lobe longitudinal variances."""
+    v0 = (0.726 * beta_m + 0.812 * beta_m ** 2 + 3.7 * beta_m ** 20) ** 2
+    return (v0, 0.25 * v0, 4.0 * v0, 4.0 * v0)
+
+
+def roughness_to_s(beta_n):
+    return SQRT_PI_OVER_8 * (0.265 * beta_n + 1.194 * beta_n ** 2
+                             + 5.372 * beta_n ** 22)
+
+
+def alpha_terms(alpha):
+    """sin/cos of 2^k alpha, k = 0..2 (double-angle recurrence)."""
+    s0, c0 = jnp.sin(alpha), jnp.cos(alpha)
+    s1, c1 = 2.0 * c0 * s0, c0 * c0 - s0 * s0
+    s2, c2 = 2.0 * c1 * s1, c1 * c1 - s1 * s1
+    return (s0, s1, s2), (c0, c1, c2)
+
+
+def sigma_a_from_concentration(ce, cp):
+    eumelanin = jnp.array([0.419, 0.697, 1.37])
+    pheomelanin = jnp.array([0.187, 0.4, 1.05])
+    return (jnp.asarray(ce)[..., None] * eumelanin
+            + jnp.asarray(cp)[..., None] * pheomelanin)
+
+
+def sigma_a_from_reflectance(color, beta_n):
+    beta_n = jnp.asarray(beta_n)[..., None]
+    denom = (5.969 - 0.215 * beta_n + 2.532 * beta_n ** 2
+             - 10.73 * beta_n ** 3 + 5.574 * beta_n ** 4
+             + 0.245 * beta_n ** 5)
+    return (jnp.log(jnp.clip(color, 1e-9, 1.0)) / denom) ** 2
+
+
+# ---------------------------------------------------------------------------
+# lobe terms
+
+
+def _mp(cos_i, cos_o, sin_i, sin_o, v):
+    v = jnp.maximum(v, 1e-7)
+    a = cos_i * cos_o / v
+    b = sin_i * sin_o / v
+    # exponent is analytically <= log(1/2v) + 0.7 (since
+    # cos(ti+to) - 1 <= 0); clip anyway so the unselected branch of the
+    # `where` below can never produce inf and poison gradients.
+    exp_small = jnp.clip(_log_i0(a) - b - 1.0 / v + 0.6931
+                         + jnp.log(1.0 / (2.0 * v)), -80.0, 80.0)
+    out_small = jnp.exp(exp_small)
+    # big-v branch: exp(-b) I0(a) / (2 v sinh(1/v)). Selected only when
+    # v > 0.1, so |a|, |b| <= 10 there — the clips below are
+    # value-preserving on the selected domain and keep the UNSELECTED
+    # branch finite (inf * 0 cotangent = NaN otherwise).
+    a_big = jnp.clip(a, 0.0, 12.0)
+    b_big = jnp.clip(b, -60.0, 60.0)
+    inv_v = jnp.minimum(1.0 / v, 20.0)
+    sinh_term = 0.5 * (jnp.exp(inv_v) - jnp.exp(-inv_v))
+    out_big = jnp.exp(-b_big) * _i0(a_big) / (sinh_term * 2.0 * v)
+    return jnp.where(v <= 0.1, out_small, out_big)
+
+
+def _phi_fn(p, gamma_o, gamma_t):
+    return 2.0 * p * gamma_t - 2.0 * gamma_o + p * jnp.pi
+
+
+def _np_term(phi, p, s, gamma_o, gamma_t):
+    dphi = phi - _phi_fn(p, gamma_o, gamma_t)
+    dphi = jnp.mod(dphi + jnp.pi, TWO_PI) - jnp.pi
+    return _trimmed_logistic(dphi, s, -jnp.pi, jnp.pi)
+
+
+def _tilted(sin_o, cos_o, s2k, c2k, p):
+    """Scale-tilted (sin, |cos|) of theta_o for lobe p (pbrt ordering)."""
+    if p == 0:
+        s = sin_o * c2k[1] - cos_o * s2k[1]
+        c = cos_o * c2k[1] + sin_o * s2k[1]
+    elif p == 1:
+        s = sin_o * c2k[0] + cos_o * s2k[0]
+        c = cos_o * c2k[0] - sin_o * s2k[0]
+    elif p == 2:
+        s = sin_o * c2k[2] + cos_o * s2k[2]
+        c = cos_o * c2k[2] - sin_o * s2k[2]
+    else:
+        s, c = sin_o, cos_o
+    return s, jnp.abs(c)
+
+
+def _shared_terms(mat: HairMaterial, h, sin_o, cos_o):
+    """Refraction geometry + per-lobe attenuation; shared by f/pdf/sample."""
+    eta = mat.eta
+    sin_t = sin_o / eta
+    cos_t = _safe_sqrt(1.0 - sin_t * sin_t)
+    etap = _safe_sqrt(eta * eta - sin_o * sin_o) / jnp.maximum(cos_o, 1e-7)
+    sin_gt = h / jnp.maximum(etap, 1e-7)
+    cos_gt = _safe_sqrt(1.0 - sin_gt * sin_gt)
+    gamma_t = _safe_asin(sin_gt)
+    # transmittance (..., 3)
+    T = jnp.exp(-mat.sigma_a * (2.0 * cos_gt
+                                / jnp.maximum(cos_t, 1e-7))[..., None])
+    # attenuation chain
+    cos_go = _safe_sqrt(1.0 - h * h)
+    f = fr_dielectric(cos_o * cos_go, eta)[..., None]
+    ap0 = jnp.broadcast_to(f, f.shape[:-1] + (3,))
+    ap1 = (1.0 - f) ** 2 * T
+    ap2 = ap1 * T * f
+    ap3 = ap2 * f * T / jnp.maximum(1.0 - T * f, 1e-5)
+    return gamma_t, T, (ap0, ap1, ap2, ap3)
+
+
+def _angles(w):
+    sin_t = w[..., 0]
+    cos_t = _safe_sqrt(1.0 - sin_t * sin_t)
+    phi = jnp.arctan2(w[..., 2], w[..., 1])
+    return sin_t, cos_t, phi
+
+
+def _luminance(c):
+    return c.mean(axis=-1)
+
+
+def _ap_pdf(aps):
+    ys = [jnp.maximum(_luminance(a), 0.0) for a in aps]
+    total = jnp.maximum(sum(ys), 1e-30)
+    return [y / total for y in ys]
+
+
+# ---------------------------------------------------------------------------
+# public interface
+
+
+def hair_f(mat: HairMaterial, h, wo, wi):
+    """BSDF value (pbrt convention — includes 1/|wi.z|). -> (..., 3)."""
+    gamma_o = _safe_asin(h)
+    sin_o, cos_o, phi_o = _angles(wo)
+    sin_i, cos_i, phi_i = _angles(wi)
+    gamma_t, T, aps = _shared_terms(mat, h, sin_o, cos_o)
+    s = roughness_to_s(mat.beta_n)
+    vs = roughness_to_v(mat.beta_m)
+    s2k, c2k = alpha_terms(mat.alpha)
+    phi = phi_i - phi_o
+
+    fsum = jnp.zeros(jnp.broadcast_shapes(h.shape, wo.shape[:-1],
+                                          wi.shape[:-1]) + (3,), wo.dtype)
+    for p in range(P_MAX):
+        sin_op, cos_op = _tilted(sin_o, cos_o, s2k, c2k, p)
+        m = _mp(cos_i, cos_op, sin_i, sin_op, vs[p])
+        n = _np_term(phi, float(p), s, gamma_o, gamma_t)
+        fsum = fsum + (m * n)[..., None] * aps[p]
+    m_last = _mp(cos_i, cos_o, sin_i, sin_o, vs[P_MAX])
+    fsum = fsum + (m_last / TWO_PI)[..., None] * aps[P_MAX]
+    abs_cos = jnp.abs(wi[..., 2])
+    return fsum / jnp.maximum(abs_cos, 1e-7)[..., None]
+
+
+def hair_pdf(mat: HairMaterial, h, wo, wi):
+    """Solid-angle pdf of `hair_sample`. -> (...)."""
+    gamma_o = _safe_asin(h)
+    sin_o, cos_o, phi_o = _angles(wo)
+    sin_i, cos_i, phi_i = _angles(wi)
+    gamma_t, T, aps = _shared_terms(mat, h, sin_o, cos_o)
+    ap_pdf = _ap_pdf(aps)
+    s = roughness_to_s(mat.beta_n)
+    vs = roughness_to_v(mat.beta_m)
+    s2k, c2k = alpha_terms(mat.alpha)
+    phi = phi_i - phi_o
+
+    pdf = jnp.zeros(jnp.broadcast_shapes(h.shape, wo.shape[:-1],
+                                         wi.shape[:-1]), wo.dtype)
+    for p in range(P_MAX):
+        sin_op, cos_op = _tilted(sin_o, cos_o, s2k, c2k, p)
+        m = _mp(cos_i, cos_op, sin_i, sin_op, vs[p])
+        n = _np_term(phi, float(p), s, gamma_o, gamma_t)
+        pdf = pdf + m * n * ap_pdf[p]
+    m_last = _mp(cos_i, cos_o, sin_i, sin_o, vs[P_MAX])
+    return pdf + m_last * ap_pdf[P_MAX] / TWO_PI
+
+
+def hair_sample(mat: HairMaterial, h, wo, u):
+    """Sample w_i given 4 uniforms u (..., 4). Returns (wi, f, pdf).
+
+    Discrete choices (lobe index) are made with pure `where` cascades;
+    gradients flow through f and pdf but the integrator detaches the
+    sampled direction (detached-sampling reparameterization, SURVEY §7.6).
+    """
+    gamma_o = _safe_asin(h)
+    sin_o, cos_o, phi_o = _angles(wo)
+    gamma_t, T, aps = _shared_terms(mat, h, sin_o, cos_o)
+    ap_pdf = _ap_pdf(aps)
+    s = roughness_to_s(mat.beta_n)
+    vs = roughness_to_v(mat.beta_m)
+    s2k, c2k = alpha_terms(mat.alpha)
+
+    # lobe selection: p = #{cdf_k < u0}
+    u0 = u[..., 0]
+    cdf0 = ap_pdf[0]
+    cdf1 = cdf0 + ap_pdf[1]
+    cdf2 = cdf1 + ap_pdf[2]
+    p_idx = ((u0 >= cdf0).astype(jnp.int32) + (u0 >= cdf1).astype(jnp.int32)
+             + (u0 >= cdf2).astype(jnp.int32))
+
+    # select tilted angles and variance for the chosen lobe
+    sin_op = jnp.zeros_like(sin_o)
+    cos_op = jnp.zeros_like(cos_o)
+    v_p = jnp.zeros_like(sin_o)
+    for p in range(P_MAX + 1):
+        s_p, c_p = _tilted(sin_o, cos_o, s2k, c2k, p)
+        sel = p_idx == p
+        sin_op = jnp.where(sel, s_p, sin_op)
+        cos_op = jnp.where(sel, c_p, cos_op)
+        v_p = jnp.where(sel, vs[p], v_p)
+
+    # longitudinal sample
+    u1 = jnp.maximum(u[..., 1], 1e-5)
+    cos_theta = 1.0 + v_p * jnp.log(u1 + (1.0 - u1) * jnp.exp(-2.0 / v_p))
+    sin_theta = _safe_sqrt(1.0 - cos_theta * cos_theta)
+    cos_phi = jnp.cos(TWO_PI * u[..., 2])
+    sin_i = -cos_theta * sin_op + sin_theta * cos_phi * cos_op
+    cos_i = _safe_sqrt(1.0 - sin_i * sin_i)
+
+    # azimuthal sample
+    p_f = p_idx.astype(wo.dtype)
+    dphi_l = (_phi_fn(p_f, gamma_o, gamma_t)
+              + _sample_trimmed_logistic(u[..., 3], s, -jnp.pi, jnp.pi))
+    dphi = jnp.where(p_idx < P_MAX, dphi_l, TWO_PI * u[..., 3])
+    phi_i = phi_o + dphi
+    wi = jnp.stack([sin_i, cos_i * jnp.cos(phi_i), cos_i * jnp.sin(phi_i)],
+                   axis=-1)
+    return wi, hair_f(mat, h, wo, wi), hair_pdf(mat, h, wo, wi)

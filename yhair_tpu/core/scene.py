@@ -1,0 +1,88 @@
+"""Scene model — pytree-registered SoA arrays.
+
+TPU-native counterpart of the reference's scene graph
+[U:libs/yocto/yocto_sceneio.h] (SURVEY.md §2.5): cameras, hair strands
+(line segments), simple props (spheres/planes with diffuse albedo), point
+lights and a constant environment. Everything lives in fixed-shape device
+arrays; the hair material is the differentiable-parameter pytree.
+
+`from_dict` ingests the oracle/scene-generator dict format (also produced
+by io/scene_json.py), so oracle and TPU renderers consume identical scenes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bsdf.hair import HairMaterial
+from ..geometry.segments import Segments
+from .camera import Camera
+
+
+class Scene(NamedTuple):
+    segments: Segments
+    hair: HairMaterial
+    sph_center: jax.Array    # (NS, 3)
+    sph_radius: jax.Array    # (NS,)
+    sph_albedo: jax.Array    # (NS, 3)
+    pln_point: jax.Array     # (NP, 3)
+    pln_normal: jax.Array    # (NP, 3)
+    pln_albedo: jax.Array    # (NP, 3)
+    light_pos: jax.Array     # (L, 3)
+    light_intensity: jax.Array  # (L, 3)
+    env: jax.Array           # (3,)
+
+    @property
+    def n_spheres(self):
+        return self.sph_center.shape[0]
+
+    @property
+    def n_planes(self):
+        return self.pln_point.shape[0]
+
+    @property
+    def n_lights(self):
+        return self.light_pos.shape[0]
+
+
+def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
+    """Convert an oracle-format scene dict into device arrays."""
+    p0, p1, r0, r1 = scene["segments"]
+    segs = Segments.make(p0, p1, r0, r1, dtype=dtype)
+    m = scene["hair_material"]
+    hair = HairMaterial.make(
+        sigma_a=np.asarray(m["sigma_a"]), beta_m=m["beta_m"],
+        beta_n=m["beta_n"], alpha=m.get("alpha", np.deg2rad(2.0)),
+        eta=m.get("eta", 1.55), dtype=dtype)
+
+    spheres = scene.get("spheres", [])
+    planes = scene.get("planes", [])
+    lights = scene.get("point_lights", [])
+
+    def arr(vals, shape):
+        if not vals:
+            return jnp.zeros(shape, dtype)
+        return jnp.asarray(np.asarray(vals, np.float64), dtype)
+
+    return Scene(
+        segments=segs,
+        hair=hair,
+        sph_center=arr([s["center"] for s in spheres], (0, 3)),
+        sph_radius=arr([s["radius"] for s in spheres], (0,)),
+        sph_albedo=arr([s["albedo"] for s in spheres], (0, 3)),
+        pln_point=arr([p["point"] for p in planes], (0, 3)),
+        pln_normal=arr([p["normal"] for p in planes], (0, 3)),
+        pln_albedo=arr([p["albedo"] for p in planes], (0, 3)),
+        light_pos=arr([l["position"] for l in lights], (0, 3)),
+        light_intensity=arr([l["intensity"] for l in lights], (0, 3)),
+        env=jnp.asarray(np.asarray(scene.get("environment", [0.0, 0.0, 0.0]),
+                                   np.float64), dtype),
+    )
+
+
+def camera_from_dict(cam: dict) -> Camera:
+    return Camera.from_dict(cam)

@@ -1,0 +1,157 @@
+"""Ray - hair-segment intersection in JAX (thin-strand model).
+
+Mirrors oracle/geometry.py:intersect_segments (same closest-approach math,
+same shading-frame and h conventions — the parity tests depend on it).
+Reference analogue: yocto's `intersect_line` [U:libs/yocto/yocto_shape.h]
+(SURVEY.md §2.2).
+
+TPU-first design: the nearest-hit search runs as a `lax.scan` over fixed
+segment chunks (static shapes, bounded VMEM footprint, fuses into a single
+pass); attributes (u, h, tangent, frames) are recomputed once per ray for
+the winning segment only. The Pallas kernel in ops/ replaces the scan on
+the hot path; this version is the portable/reference implementation and the
+autodiff path.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+INF = jnp.float32(1e30)
+
+
+class Segments(NamedTuple):
+    """SoA hair geometry: polyline segments with per-vertex radius.
+
+    Matches the reference's `lines` shape channel layout (positions +
+    radius, SURVEY.md §2.3) flattened to independent segments.
+    """
+
+    p0: jax.Array  # (S, 3)
+    p1: jax.Array  # (S, 3)
+    r0: jax.Array  # (S,)
+    r1: jax.Array  # (S,)
+
+    @classmethod
+    def make(cls, p0, p1, r0, r1, dtype=jnp.float32):
+        return cls(jnp.asarray(p0, dtype), jnp.asarray(p1, dtype),
+                   jnp.asarray(r0, dtype), jnp.asarray(r1, dtype))
+
+    def padded(self, multiple: int) -> "Segments":
+        """Pad with never-hit segments so S % multiple == 0."""
+        s = self.p0.shape[0]
+        pad = (-s) % multiple
+        if pad == 0:
+            return self
+        far = jnp.full((pad, 3), 1e8, self.p0.dtype)
+        zero = jnp.zeros((pad,), self.r0.dtype)
+        return Segments(jnp.concatenate([self.p0, far]),
+                        jnp.concatenate([self.p1, far]),
+                        jnp.concatenate([self.r0, zero]),
+                        jnp.concatenate([self.r1, zero]))
+
+
+def _closest_approach(o, d, p0, p1):
+    """Per (ray, segment) closest-approach parameters.
+
+    o, d: (N, 1, 3) or (N, C, 3)-broadcastable; p0, p1: (..., 3).
+    Returns (s ray-param, u segment-param in [0,1], dist2).
+    """
+    d2 = p1 - p0
+    w0 = o - p0
+    b = jnp.sum(d * d2, -1)
+    c = jnp.sum(d2 * d2, -1)
+    dd = jnp.sum(d * w0, -1)
+    e = jnp.sum(d2 * w0, -1)
+    denom = jnp.maximum(c - b * b, 1e-12)
+    u = jnp.clip((e - b * dd) / denom, 0.0, 1.0)
+    s = b * u - dd
+    closest = p0 + u[..., None] * d2
+    off = o + s[..., None] * d - closest
+    return s, u, jnp.sum(off * off, -1)
+
+
+def nearest_hit(o, d, segs: Segments, t_min=1e-4, t_max=INF, chunk=2048):
+    """Closest hit over all segments via a chunked scan.
+
+    o, d: (N, 3). Returns (t (N,), idx (N,) int32, hit (N,) bool).
+    """
+    segs = segs.padded(chunk)
+    s_total = segs.p0.shape[0]
+    n_chunks = s_total // chunk
+    p0 = segs.p0.reshape(n_chunks, chunk, 3)
+    p1 = segs.p1.reshape(n_chunks, chunk, 3)
+    r0 = segs.r0.reshape(n_chunks, chunk)
+    r1 = segs.r1.reshape(n_chunks, chunk)
+
+    o_b = o[:, None, :]
+    d_b = d[:, None, :]
+    n = o.shape[0]
+
+    def body(carry, xs):
+        best_t, best_i = carry
+        cp0, cp1, cr0, cr1, base = xs
+        s, u, dist2 = _closest_approach(o_b, d_b, cp0[None], cp1[None])
+        r = cr0[None] + (cr1 - cr0)[None] * u
+        ok = (dist2 <= r * r) & (s > t_min) & (s < t_max)
+        s = jnp.where(ok, s, INF)
+        i_local = jnp.argmin(s, axis=-1)
+        t_local = jnp.take_along_axis(s, i_local[:, None], axis=-1)[:, 0]
+        closer = t_local < best_t
+        best_t = jnp.where(closer, t_local, best_t)
+        best_i = jnp.where(closer, base + i_local.astype(jnp.int32), best_i)
+        return (best_t, best_i), None
+
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    (t, idx), _ = jax.lax.scan(
+        body, (jnp.full((n,), INF), jnp.zeros((n,), jnp.int32)),
+        (p0, p1, r0, r1, bases))
+    return t, idx, t < INF
+
+
+def occluded(o, d, dist, segs: Segments, t_min=1e-4, chunk=2048):
+    """Any-hit within [t_min, dist] (shadow rays)."""
+    t, _, hit = nearest_hit(o, d, segs, t_min=t_min, chunk=chunk)
+    return hit & (t < dist * (1.0 - 1e-4))
+
+
+class SegmentShade(NamedTuple):
+    position: jax.Array  # (N, 3) on the strand axis
+    tangent: jax.Array   # (N, 3) frame x
+    frame_y: jax.Array   # (N, 3) width axis
+    frame_z: jax.Array   # (N, 3) faces the viewer
+    h: jax.Array         # (N,) offset across the width
+    u: jax.Array         # (N,) param along the segment
+    radius: jax.Array    # (N,)
+
+
+def shade_info(o, d, t, idx, segs: Segments) -> SegmentShade:
+    """Recompute shading attributes for the winning segment of each ray.
+
+    Frame convention shared with the oracle (oracle/geometry.py docstring):
+    x = tangent, z = viewer-facing perpendicular of -d, y = cross(z, x),
+    h = dot(offset, y) / radius.
+    """
+    p0 = segs.p0[idx]
+    p1 = segs.p1[idx]
+    r0 = segs.r0[idx]
+    r1 = segs.r1[idx]
+    s, u, _ = _closest_approach(o, d, p0, p1)
+    # use the integrator's t (same value) for the hit position
+    hit_pos = o + t[:, None] * d
+    axis_pt = p0 + u[:, None] * (p1 - p0)
+    off = hit_pos - axis_pt
+    radius = r0 + (r1 - r0) * u
+    tangent = p1 - p0
+    tangent = tangent / jnp.maximum(
+        jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-12)
+    z = -(d - jnp.sum(d * tangent, -1, keepdims=True) * tangent)
+    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+    y = jnp.cross(z, tangent)
+    h = jnp.clip(jnp.sum(off * y, -1) / jnp.maximum(radius, 1e-12),
+                 -1.0, 1.0)
+    return SegmentShade(position=hit_pos, tangent=tangent, frame_y=y,
+                        frame_z=z, h=h, u=u, radius=radius)

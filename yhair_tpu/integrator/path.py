@@ -1,0 +1,251 @@
+"""Wavefront path-tracing integrator in JAX.
+
+TPU-native rebuild of the reference's `trace_path` loop
+[U:libs/yocto/yocto_trace.cpp] (SURVEY.md §2.7, §3.1): camera rays ->
+bounce loop { intersect -> env on miss -> direct lighting with shadow rays
+-> BSDF sample -> Russian roulette } — but expressed as a `lax.scan` over a
+fixed max depth with alive-masks instead of recursion/compaction
+(SURVEY.md §7.6), so the whole render step is one compiled XLA program.
+
+Parity: consumes the same uniforms layout as oracle/pathtrace.py and
+reproduces it pixel-for-pixel (tests/test_render_parity.py).
+
+Differentiability: discrete sampling decisions (lobe choice, RR) are made
+on `stop_gradient`ed quantities; the path throughput f·|cos|/pdf carries
+the gradient (detached-sampling reparameterization — unbiased for the
+continuous hair parameters; validated against finite differences).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..bsdf import hair as jh
+from ..core.camera import Camera, camera_rays
+from ..core.rng import D_BOUNCE, D_PIXEL, n_uniform_dims
+from ..core.scene import Scene
+from ..geometry import segments as seg
+
+INF = seg.INF
+RR_START = 3
+
+
+class Hit(NamedTuple):
+    hit: jax.Array        # (N,) bool
+    t: jax.Array          # (N,)
+    mat: jax.Array        # (N,) int32: -1 miss, 0 hair, 1 diffuse
+    position: jax.Array   # (N, 3)
+    normal: jax.Array     # (N, 3) diffuse-surface normal
+    tangent: jax.Array    # (N, 3) hair frame x
+    frame_y: jax.Array    # (N, 3)
+    frame_z: jax.Array    # (N, 3)
+    h: jax.Array          # (N,)
+    radius: jax.Array     # (N,)
+    albedo: jax.Array     # (N, 3)
+
+
+def intersect_scene(scene: Scene, o, d, chunk=2048,
+                    nearest_segments=None) -> Hit:
+    """Closest hit over hair segments + analytic props.
+
+    `nearest_segments(o, d) -> (t, idx, hit)` can override the segment
+    search (BVH traversal or the Pallas kernel); defaults to the chunked
+    brute-force scan.
+    """
+    n = o.shape[0]
+    if nearest_segments is None:
+        t_seg, idx, hit_seg = seg.nearest_hit(o, d, scene.segments,
+                                              chunk=chunk)
+    else:
+        t_seg, idx, hit_seg = nearest_segments(o, d)
+
+    best_t = jnp.where(hit_seg, t_seg, INF)
+    mat = jnp.where(hit_seg, 0, -1).astype(jnp.int32)
+    normal = jnp.zeros((n, 3), o.dtype)
+    albedo = jnp.zeros((n, 3), o.dtype)
+
+    if scene.n_spheres:
+        oc = o[:, None, :] - scene.sph_center[None]
+        b = jnp.sum(oc * d[:, None, :], -1)
+        c = jnp.sum(oc * oc, -1) - scene.sph_radius[None] ** 2
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0, t1 = -b - sq, -b + sq
+        t_cand = jnp.where((disc >= 0) & (t0 > 1e-4), t0,
+                           jnp.where((disc >= 0) & (t1 > 1e-4), t1, INF))
+        i_s = jnp.argmin(t_cand, -1)
+        t_s = jnp.take_along_axis(t_cand, i_s[:, None], -1)[:, 0]
+        closer = t_s < best_t
+        best_t = jnp.where(closer, t_s, best_t)
+        mat = jnp.where(closer, 1, mat)
+        pos_s = o + t_s[:, None] * d
+        n_s = pos_s - scene.sph_center[i_s]
+        n_s = n_s / jnp.maximum(
+            jnp.linalg.norm(n_s, axis=-1, keepdims=True), 1e-12)
+        normal = jnp.where(closer[:, None], n_s, normal)
+        albedo = jnp.where(closer[:, None], scene.sph_albedo[i_s], albedo)
+
+    if scene.n_planes:
+        denom = jnp.sum(d[:, None, :] * scene.pln_normal[None], -1)
+        tp = jnp.sum((scene.pln_point[None] - o[:, None, :])
+                     * scene.pln_normal[None], -1) / jnp.where(
+            jnp.abs(denom) < 1e-12, 1e-12, denom)
+        tp = jnp.where((jnp.abs(denom) > 1e-9) & (tp > 1e-4), tp, INF)
+        i_p = jnp.argmin(tp, -1)
+        t_p = jnp.take_along_axis(tp, i_p[:, None], -1)[:, 0]
+        closer = t_p < best_t
+        best_t = jnp.where(closer, t_p, best_t)
+        mat = jnp.where(closer, 1, mat)
+        pn = scene.pln_normal[i_p]
+        d_dot = jnp.take_along_axis(denom, i_p[:, None], -1)[:, 0]
+        pn = pn * jnp.where(d_dot[:, None] < 0, 1.0, -1.0)
+        normal = jnp.where(closer[:, None], pn, normal)
+        albedo = jnp.where(closer[:, None], scene.pln_albedo[i_p], albedo)
+
+    hit = best_t < INF
+    is_hair = hit & (mat == 0)
+    sh = seg.shade_info(o, d, jnp.where(is_hair, best_t, 0.0), idx,
+                        scene.segments)
+    pos = o + jnp.where(hit, best_t, 0.0)[:, None] * d
+    position = jnp.where(is_hair[:, None], sh.position, pos)
+    return Hit(hit=hit, t=jnp.where(hit, best_t, INF), mat=mat,
+               position=position, normal=normal,
+               tangent=sh.tangent, frame_y=sh.frame_y, frame_z=sh.frame_z,
+               h=jnp.where(is_hair, sh.h, 0.0),
+               radius=jnp.where(is_hair, sh.radius, 0.0), albedo=albedo)
+
+
+def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
+                   nearest_segments=None) -> jax.Array:
+    hs = intersect_scene(scene, o, d, chunk=chunk,
+                         nearest_segments=nearest_segments)
+    return hs.hit & (hs.t < dist * (1.0 - 1e-4))
+
+
+def _diffuse_frame(nrm):
+    a = jnp.where(jnp.abs(nrm[:, 0:1]) > 0.9,
+                  jnp.array([[0.0, 1.0, 0.0]], nrm.dtype),
+                  jnp.array([[1.0, 0.0, 0.0]], nrm.dtype))
+    t1 = jnp.cross(nrm, a)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1, axis=-1, keepdims=True), 1e-12)
+    return t1, jnp.cross(nrm, t1)
+
+
+def _to_local(w, fx, fy, fz):
+    return jnp.stack([jnp.sum(w * fx, -1), jnp.sum(w * fy, -1),
+                      jnp.sum(w * fz, -1)], -1)
+
+
+def _to_world(w, fx, fy, fz):
+    return w[..., 0:1] * fx + w[..., 1:2] * fy + w[..., 2:3] * fz
+
+
+def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
+          nearest_segments=None):
+    """Path-trace a ray batch. Matches oracle/pathtrace.py:trace.
+
+    o, d: (N, 3); uniforms: (N, n_uniform_dims(max_depth)). -> (N, 3).
+    """
+    n = o.shape[0]
+    dt = o.dtype
+
+    ub_all = uniforms[:, D_PIXEL:D_PIXEL + D_BOUNCE * max_depth]
+    ub_steps = ub_all.reshape(n, max_depth, D_BOUNCE).transpose(1, 0, 2)
+
+    def bounce(carry, xs):
+        o, d, L, beta, alive = carry
+        ub, depth = xs
+        hs = intersect_scene(scene, o, d, chunk=chunk,
+                             nearest_segments=nearest_segments)
+        miss = alive & ~hs.hit
+        L = L + jnp.where(miss[:, None], beta * scene.env, 0.0)
+        alive = alive & hs.hit
+
+        is_hair = hs.mat == 0
+        nrm = hs.normal
+        t1, t2 = _diffuse_frame(nrm)
+        fx = jnp.where(is_hair[:, None], hs.tangent, t1)
+        fy = jnp.where(is_hair[:, None], hs.frame_y, t2)
+        fz = jnp.where(is_hair[:, None], hs.frame_z, nrm)
+
+        wo = _to_local(-d, fx, fy, fz)
+        h = hs.h
+        pos = hs.position
+        ray_eps = jnp.where(is_hair, 2.0 * hs.radius, 1e-4)
+
+        # direct lighting: every point light, deterministic sum
+        for li in range(scene.n_lights):
+            lp = scene.light_pos[li]
+            lint = scene.light_intensity[li]
+            to_l = lp - pos
+            dist = jnp.linalg.norm(to_l, axis=-1)
+            wi_w = to_l / jnp.maximum(dist[:, None], 1e-12)
+            sh_o = pos + wi_w * ray_eps[:, None]
+            vis = ~occluded_scene(scene, sh_o, wi_w, dist - ray_eps,
+                                  chunk=chunk,
+                                  nearest_segments=nearest_segments)
+            wi = _to_local(wi_w, fx, fy, fz)
+            f_hair = jh.hair_f(scene.hair, h, wo, wi) * jnp.abs(wi[:, 2:3])
+            f_diff = hs.albedo / jnp.pi * jnp.maximum(wi[:, 2:3], 0.0)
+            f = jnp.where(is_hair[:, None], f_hair, f_diff)
+            contrib = beta * f * lint / jnp.maximum(dist[:, None] ** 2,
+                                                    1e-12)
+            L = L + jnp.where((alive & vis)[:, None], contrib, 0.0)
+
+        # BSDF sampling (detached directions)
+        wi_h, f_h, pdf_h = jh.hair_sample(
+            scene.hair, h, jax.lax.stop_gradient(wo), ub[:, :4])
+        wi_h = jax.lax.stop_gradient(wi_h)
+        f_h = jh.hair_f(scene.hair, h, wo, wi_h)  # re-eval: carries grad
+        pdf_h = jax.lax.stop_gradient(pdf_h)
+        w_hair = f_h * jnp.abs(wi_h[:, 2:3]) / jnp.maximum(pdf_h[:, None],
+                                                           1e-12)
+        w_hair = jnp.where((pdf_h > 1e-12)[:, None], w_hair, 0.0)
+
+        r = jnp.sqrt(ub[:, 0])
+        phi = 2.0 * jnp.pi * ub[:, 1]
+        wi_d = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
+                          jnp.sqrt(jnp.maximum(0.0, 1.0 - ub[:, 0]))], -1)
+        wi = jnp.where(is_hair[:, None], wi_h, wi_d)
+        weight = jnp.where(is_hair[:, None], w_hair, hs.albedo)
+
+        beta = beta * weight
+        d_new = _to_world(wi, fx, fy, fz)
+        d_new = d_new / jnp.maximum(
+            jnp.linalg.norm(d_new, axis=-1, keepdims=True), 1e-12)
+        o_new = pos + d_new * ray_eps[:, None]
+        alive = alive & (jnp.max(jnp.abs(beta), -1) > 0)
+
+        # Russian roulette (active from RR_START)
+        rr_on = depth >= RR_START
+        p_cont = jnp.clip(jnp.max(jax.lax.stop_gradient(beta), -1),
+                          0.05, 1.0)
+        die = rr_on & (ub[:, 4] > p_cont)
+        alive = alive & ~die
+        beta = jnp.where(rr_on[None] if rr_on.ndim else rr_on,
+                         beta / p_cont[:, None], beta)
+        return (o_new, d_new, L, beta, alive), None
+
+    init = (o, d, jnp.zeros((n, 3), dt), jnp.ones((n, 3), dt),
+            jnp.ones((n,), bool))
+    (o, d, L, beta, alive), _ = jax.lax.scan(
+        bounce, init, (ub_steps, jnp.arange(max_depth)))
+    return L
+
+
+def render(scene: Scene, cam: Camera, uniforms, max_depth=4, chunk=2048,
+           nearest_segments=None):
+    """Render from a full uniforms tensor (H, W, spp, D) — parity path."""
+    hgt, wid, spp, _ = uniforms.shape
+    jj, ii = jnp.meshgrid(jnp.arange(hgt), jnp.arange(wid), indexing="ij")
+    i = jnp.repeat(ii.reshape(-1), spp)
+    j = jnp.repeat(jj.reshape(-1), spp)
+    u = uniforms.reshape(hgt * wid * spp, -1)
+    o, d = camera_rays(cam, wid, hgt, i.astype(u.dtype), j.astype(u.dtype),
+                       u[:, :2])
+    L = trace(scene, o, d, u, max_depth=max_depth, chunk=chunk,
+              nearest_segments=nearest_segments)
+    return L.reshape(hgt, wid, spp, 3).mean(axis=2)
