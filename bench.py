@@ -1,0 +1,126 @@
+"""Headline benchmark: Mrays/s/chip, forward+backward, hairball 512x512.
+
+BASELINE.json:2 — "Mrays/s/chip fwd+bwd on hairball 512x512; pixel-grad
+allclose; 1->N host scaling". The reference publishes no numbers
+(BASELINE.md), so vs_baseline reports the speedup over the float64 numpy
+oracle's rays/s on the same scene (the stand-in for the missing C++
+reference, measured live on a subset each run).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mrays/s/chip", "vs_baseline": N}
+
+Ray accounting: every acceleration-structure traversal actually launched —
+camera/bounce rays plus one shadow ray per light per bounce, all lanes
+(SIMD lanes do the work whether or not a lane is still alive).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from scenes.generators import curly_hairball
+    from yhair_tpu.accel import build_scene_bvh
+    from yhair_tpu.core import scene as jscene
+    from yhair_tpu.parallel import mesh as pmesh
+
+    width = height = 512
+    spp = 1
+    max_depth = 4
+    n_strands = 10_000
+    batch = 65_536
+
+    scene_d, cam_d = curly_hairball(n_strands=n_strands, n_seg=12)
+    sc = jscene.from_dict(scene_d)
+    cam = jscene.camera_from_dict(cam_d)
+    sc2, bvh, nearest = build_scene_bvh(sc)
+    n_lights = sc2.n_lights
+    rays_per_camera_ray = max_depth * (1 + n_lights)
+
+    from yhair_tpu.core.camera import camera_rays
+    from yhair_tpu.core.rng import n_uniform_dims
+    from yhair_tpu.integrator import path as jpath
+
+    n_rays = width * height * spp
+    nd = n_uniform_dims(max_depth)
+
+    def trace_batch(scene, pixel_ids, sample_ids, key):
+        def one(pid, sid):
+            k = jax.random.fold_in(jax.random.fold_in(key, sid), pid)
+            return jax.random.uniform(k, (nd,), jnp.float32)
+        u = jax.vmap(one)(pixel_ids, sample_ids)
+        i = (pixel_ids % width).astype(jnp.float32)
+        j = (pixel_ids // width).astype(jnp.float32)
+        o, d = camera_rays(cam, width, height, i, j, u[:, :2])
+        return jpath.trace(scene, o, d, u, max_depth=max_depth,
+                           nearest_segments=nearest)
+
+    def fwd_bwd_batch(params, pixel_ids, sample_ids, key):
+        def loss(p):
+            scene = sc2._replace(hair=sc2.hair._replace(**p))
+            L = trace_batch(scene, pixel_ids, sample_ids, key)
+            return L.mean()
+        return jax.value_and_grad(loss)(params)
+
+    jit_fwd = jax.jit(trace_batch)
+    jit_fwdbwd = jax.jit(fwd_bwd_batch)
+
+    params = {"beta_m": sc2.hair.beta_m, "beta_n": sc2.hair.beta_n,
+              "sigma_a": sc2.hair.sigma_a}
+    key = jax.random.key(0)
+    ray = np.arange(n_rays, dtype=np.int32)
+    pid_all, sid_all = ray // spp, ray % spp
+
+    def run(fn, args_builder, n_batches):
+        outs = []
+        for bi in range(n_batches):
+            s = slice(bi * batch, (bi + 1) * batch)
+            outs.append(fn(*args_builder(s)))
+        jax.block_until_ready(outs)
+        return outs
+
+    n_batches = n_rays // batch
+
+    # warm up / compile
+    run(jit_fwd, lambda s: (sc2, jnp.asarray(pid_all[s]),
+                            jnp.asarray(sid_all[s]), key), 1)
+    run(jit_fwdbwd, lambda s: (params, jnp.asarray(pid_all[s]),
+                               jnp.asarray(sid_all[s]), key), 1)
+
+    t0 = time.time()
+    run(jit_fwdbwd, lambda s: (params, jnp.asarray(pid_all[s]),
+                               jnp.asarray(sid_all[s]), key), n_batches)
+    t_fwdbwd = time.time() - t0
+
+    total_rays = n_rays * rays_per_camera_ray
+    mrays = total_rays / t_fwdbwd / 1e6
+
+    # --- oracle baseline (numpy float64) on a small slice of the same scene
+    from oracle.pathtrace import render as oracle_render, n_uniform_dims as ond
+    sub = 24
+    rng = np.random.default_rng(0)
+    u_o = rng.random((sub, sub, 1, ond(max_depth)))
+    t0 = time.time()
+    oracle_render(scene_d, dict(cam_d, width=sub, height=sub), u_o,
+                  max_depth=max_depth)
+    t_oracle = time.time() - t0
+    oracle_mrays = (sub * sub * rays_per_camera_ray) / t_oracle / 1e6
+
+    print(json.dumps({
+        "metric": "hairball_512x512_1spp_fwd+bwd",
+        "value": round(mrays, 3),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / max(oracle_mrays, 1e-9), 1),
+    }))
+    print(f"# fwd+bwd: {t_fwdbwd:.2f}s for {total_rays/1e6:.1f}M rays; "
+          f"oracle {oracle_mrays:.4f} Mrays/s", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

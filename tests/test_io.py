@@ -1,0 +1,110 @@
+"""IO round-trips: PLY strands, .hair files, JSON scenes, images."""
+
+import numpy as np
+import pytest
+
+from yhair_tpu.io import hairfile, image, ply, scene_json
+
+
+def test_ply_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=(20, 3))
+    r = rng.uniform(1e-3, 1e-2, 20)
+    lines = np.stack([np.arange(19), np.arange(19) + 1], axis=-1)
+    p = tmp_path / "s.ply"
+    ply.save_strands(p, v, r, lines)
+    v2, r2, l2 = ply.load_strands(p)
+    np.testing.assert_allclose(v2, v, atol=1e-6)
+    np.testing.assert_allclose(r2, r, atol=1e-8)
+    np.testing.assert_array_equal(l2, lines)
+    p0, p1, r0, r1 = ply.lines_to_segments(v2, r2, l2)
+    assert p0.shape == (19, 3)
+
+
+def test_ply_ascii(tmp_path):
+    p = tmp_path / "a.ply"
+    p.write_text("\n".join([
+        "ply", "format ascii 1.0",
+        "element vertex 3",
+        "property float x", "property float y", "property float z",
+        "property float radius",
+        "element line 2",
+        "property int vertex1", "property int vertex2",
+        "end_header",
+        "0 0 0 0.1", "1 0 0 0.2", "2 0 0 0.1",
+        "0 1", "1 2", ""]))
+    v, r, l = ply.load_strands(p)
+    assert v.shape == (3, 3) and l.shape == (2, 2)
+    np.testing.assert_allclose(r, [0.1, 0.2, 0.1])
+
+
+def test_hairfile_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    # 3 strands with 4 segments each -> 5 points per strand
+    counts = np.array([4, 4, 4])
+    pts = rng.normal(size=(15, 3))
+    th = rng.uniform(1e-3, 5e-3, 15)
+    p = tmp_path / "w.hair"
+    hairfile.save(p, pts, counts, th)
+    h = hairfile.load(p)
+    np.testing.assert_allclose(h["points"], pts, atol=1e-6)
+    np.testing.assert_allclose(h["thickness"], th, atol=1e-8)
+    np.testing.assert_array_equal(h["segments"], counts)
+    p0, p1, r0, r1 = hairfile.to_segments(h)
+    assert p0.shape == (12, 3)  # 3 strands x 4 segments
+    # first segment of strand 2 starts at point 10
+    np.testing.assert_allclose(p0[8], pts[10], atol=1e-6)
+
+
+def test_scene_json_roundtrip(tmp_path):
+    from scenes.generators import single_strand
+    scene, cam = single_strand()
+    path = tmp_path / "scene.json"
+    scene_json.save(path, scene, cam)
+    scene2, cam2 = scene_json.load(path)
+    np.testing.assert_allclose(cam2["position"], cam["position"])
+    np.testing.assert_allclose(
+        scene2["hair_material"]["sigma_a"], scene["hair_material"]["sigma_a"],
+        rtol=1e-6)
+    # same segment soup (order preserved by save)
+    np.testing.assert_allclose(scene2["segments"][0], scene["segments"][0],
+                               atol=1e-6)
+    # renders must match between original and round-tripped scenes
+    from oracle.pathtrace import render, n_uniform_dims
+    u = np.random.default_rng(0).random((16, 16, 1, n_uniform_dims(1)))
+    img1 = render(scene, cam, u, max_depth=1)
+    img2 = render(scene2, cam2, u, max_depth=1)
+    np.testing.assert_allclose(img2, img1, atol=1e-6)
+
+
+def test_scene_json_melanin_and_generator(tmp_path):
+    path = tmp_path / "m.json"
+    path.write_text("""{
+      "camera": {"position": [0,0,2], "look_at": [0,0,0]},
+      "hair_material": {"eumelanin": 1.3, "pheomelanin": 0.2},
+      "strands": {"generator": "single_strand"},
+      "environment": [0.1, 0.1, 0.1]
+    }""")
+    scene, cam = scene_json.load(path)
+    from oracle.hair_bsdf import sigma_a_from_concentration
+    np.testing.assert_allclose(scene["hair_material"]["sigma_a"],
+                               sigma_a_from_concentration(1.3, 0.2))
+    assert scene["segments"][0].shape[1] == 3
+
+
+def test_image_roundtrips(tmp_path):
+    rng = np.random.default_rng(2)
+    hdr = rng.uniform(0, 2, (8, 10, 3))
+    image.save_pfm(tmp_path / "i.pfm", hdr)
+    back = image.load_pfm(tmp_path / "i.pfm")
+    np.testing.assert_allclose(back, hdr, atol=1e-6)
+
+    image.save_png(tmp_path / "i.png", hdr)
+    ldr = image.load_png(tmp_path / "i.png")
+    np.testing.assert_allclose(ldr, np.clip(hdr, 0, 1), atol=0.01)
+
+    x = np.array([0.0, 0.2, 0.7, 1.0])
+    np.testing.assert_allclose(image.srgb_decode(image.srgb_encode(x)), x,
+                               atol=1e-9)
+    f = image.tonemap(hdr, exposure=1.0, filmic=True)
+    assert f.min() >= 0 and f.max() <= 1

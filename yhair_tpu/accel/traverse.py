@@ -119,9 +119,11 @@ def nearest_hit(o, d, bvh: DeviceBVH, t_min=1e-4, t_max=INF,
         node = jnp.where(active, nxt, 0)
         return node, t_best, idx, it + 1
 
-    t_best0 = t_cap
-    st = (jnp.ones((n,), jnp.int32), t_best0, jnp.zeros((n,), jnp.int32),
-          jnp.zeros((), jnp.int32))
+    # derive the init carry from the ray arrays so its varying-axis type
+    # matches the body output under shard_map manual axes
+    zero_like = (o[:, 0] + d[:, 0]) * 0.0
+    st = (zero_like.astype(jnp.int32) + 1, t_cap + zero_like,
+          zero_like.astype(jnp.int32), jnp.zeros((), jnp.int32))
     node, t_best, idx, _ = jax.lax.while_loop(cond, body, st)
     hit = t_best < t_cap
     orig = jnp.where(hit, bvh.seg_index[idx], 0)

@@ -143,14 +143,45 @@ def _to_world(w, fx, fy, fz):
     return w[..., 0:1] * fx + w[..., 1:2] * fy + w[..., 2:3] * fz
 
 
+def trace_eyelight(scene: Scene, o, d, uniforms, chunk=2048,
+                   nearest_segments=None):
+    """Debug sampler: shade the first hit with a headlight (reference
+    `trace_eyelight` [U:yocto_trace.cpp], SURVEY.md §2.7)."""
+    o = o + d * 0.0
+    hs = intersect_scene(scene, o, d, chunk=chunk,
+                         nearest_segments=nearest_segments)
+    is_hair = hs.mat == 0
+    t1, t2 = _diffuse_frame(hs.normal)
+    fx = jnp.where(is_hair[:, None], hs.tangent, t1)
+    fy = jnp.where(is_hair[:, None], hs.frame_y, t2)
+    fz = jnp.where(is_hair[:, None], hs.frame_z, hs.normal)
+    wo = _to_local(-d, fx, fy, fz)
+    f_hair = jh.hair_f(scene.hair, hs.h, wo, wo) * jnp.abs(wo[:, 2:3])
+    f_diff = hs.albedo / jnp.pi * jnp.abs(wo[:, 2:3])
+    f = jnp.where(is_hair[:, None], f_hair, f_diff) * jnp.pi
+    return jnp.where(hs.hit[:, None], f, jnp.broadcast_to(scene.env,
+                                                          f.shape))
+
+
 def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
-          nearest_segments=None):
+          nearest_segments=None, sampler="path"):
     """Path-trace a ray batch. Matches oracle/pathtrace.py:trace.
 
     o, d: (N, 3); uniforms: (N, n_uniform_dims(max_depth)). -> (N, 3).
+
+    sampler: "path" (NEE + BSDF sampling, the default), "naive" (BSDF
+    sampling only — reference `trace_naive`), or "eyelight" (debug).
     """
+    if sampler == "eyelight":
+        return trace_eyelight(scene, o, d, uniforms, chunk=chunk,
+                              nearest_segments=nearest_segments)
+    use_nee = sampler == "path"
     n = o.shape[0]
     dt = o.dtype
+    # Under shard_map, a pinhole origin is a broadcast of the replicated
+    # camera position while directions are varying; tie o to d so every
+    # scan carry has a consistent varying-axis type.
+    o = o + d * 0.0
 
     ub_all = uniforms[:, D_PIXEL:D_PIXEL + D_BOUNCE * max_depth]
     ub_steps = ub_all.reshape(n, max_depth, D_BOUNCE).transpose(1, 0, 2)
@@ -177,7 +208,7 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         ray_eps = jnp.where(is_hair, 2.0 * hs.radius, 1e-4)
 
         # direct lighting: every point light, deterministic sum
-        for li in range(scene.n_lights):
+        for li in range(scene.n_lights if use_nee else 0):
             lp = scene.light_pos[li]
             lint = scene.light_intensity[li]
             to_l = lp - pos
@@ -229,15 +260,16 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                          beta / p_cont[:, None], beta)
         return (o_new, d_new, L, beta, alive), None
 
-    init = (o, d, jnp.zeros((n, 3), dt), jnp.ones((n, 3), dt),
-            jnp.ones((n,), bool))
+    # init derived from o so varying-axis types line up under shard_map
+    zero3 = (o + d) * 0.0
+    init = (o, d, zero3, zero3 + 1.0, zero3[:, 0] < 1.0)
     (o, d, L, beta, alive), _ = jax.lax.scan(
         bounce, init, (ub_steps, jnp.arange(max_depth)))
     return L
 
 
 def render(scene: Scene, cam: Camera, uniforms, max_depth=4, chunk=2048,
-           nearest_segments=None):
+           nearest_segments=None, sampler="path"):
     """Render from a full uniforms tensor (H, W, spp, D) — parity path."""
     hgt, wid, spp, _ = uniforms.shape
     jj, ii = jnp.meshgrid(jnp.arange(hgt), jnp.arange(wid), indexing="ij")
@@ -247,5 +279,5 @@ def render(scene: Scene, cam: Camera, uniforms, max_depth=4, chunk=2048,
     o, d = camera_rays(cam, wid, hgt, i.astype(u.dtype), j.astype(u.dtype),
                        u[:, :2])
     L = trace(scene, o, d, u, max_depth=max_depth, chunk=chunk,
-              nearest_segments=nearest_segments)
+              nearest_segments=nearest_segments, sampler=sampler)
     return L.reshape(hgt, wid, spp, 3).mean(axis=2)

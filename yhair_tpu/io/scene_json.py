@@ -1,0 +1,146 @@
+"""JSON scene format — declarative scene description.
+
+Kept compatible in spirit with the reference's yocto JSON scenes
+[U:libs/yocto/yocto_sceneio.cpp, SURVEY.md §2.5 and §5 config row]:
+cameras, hair materials (sigma_a / beta_m / beta_n / alpha / eta, or
+melanin concentrations, or a reflectance color), strand shapes referenced
+as PLY/.hair files or inline generators, simple props, lights,
+environment.
+
+Example:
+{
+  "camera":   {"position": [0,0.25,1.6], "look_at": [0,0,0], "vfov_deg": 35},
+  "hair_material": {"eumelanin": 1.3, "pheomelanin": 0.2,
+                    "beta_m": 0.25, "beta_n": 0.3},
+  "strands":  {"ply": "wig.ply"}        | {"hair": "wStraight.hair"}
+              | {"generator": "curly_hairball", "n_strands": 10000},
+  "spheres":  [{"center": [0,0,0], "radius": 0.3, "albedo": [0.3,0.2,0.1]}],
+  "planes":   [...],
+  "point_lights": [{"position": [2,2,2], "intensity": [20,20,20]}],
+  "environment": [0.05, 0.06, 0.08]
+}
+
+`load` resolves everything to the oracle-format scene dict consumed by
+both the oracle and core.scene.from_dict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+
+def _resolve_material(m):
+    from oracle.hair_bsdf import (sigma_a_from_concentration,
+                                  sigma_a_from_reflectance)
+    out = {
+        "beta_m": float(m.get("beta_m", 0.3)),
+        "beta_n": float(m.get("beta_n", 0.3)),
+        "alpha": float(np.deg2rad(m.get("alpha_deg", 2.0))),
+        "eta": float(m.get("eta", 1.55)),
+    }
+    if "sigma_a" in m:
+        out["sigma_a"] = np.asarray(m["sigma_a"], np.float64)
+    elif "eumelanin" in m or "pheomelanin" in m:
+        out["sigma_a"] = sigma_a_from_concentration(
+            float(m.get("eumelanin", 0.0)), float(m.get("pheomelanin", 0.0)))
+    elif "color" in m:
+        out["sigma_a"] = sigma_a_from_reflectance(
+            np.asarray(m["color"], np.float64), out["beta_n"])
+    else:
+        out["sigma_a"] = np.array([0.06, 0.1, 0.2])
+    return out
+
+
+def _resolve_strands(spec, base_dir):
+    from . import hairfile, ply
+    if "ply" in spec:
+        pos, rad, lines = ply.load_strands(os.path.join(base_dir, spec["ply"]))
+        segs = ply.lines_to_segments(pos, rad, lines)
+    elif "hair" in spec:
+        h = hairfile.load(os.path.join(base_dir, spec["hair"]))
+        segs = hairfile.to_segments(h, spec.get("radius_scale", 1.0))
+    elif "generator" in spec:
+        import scenes.generators as gen
+        fn = getattr(gen, spec["generator"])
+        kwargs = {k: v for k, v in spec.items() if k != "generator"}
+        scene_d, _cam = fn(**kwargs)
+        segs = scene_d["segments"]
+    else:
+        raise ValueError(f"unknown strand source {spec}")
+    p0, p1, r0, r1 = segs
+    scale = spec.get("scale", 1.0)
+    offset = np.asarray(spec.get("offset", [0.0, 0.0, 0.0]), np.float64)
+    return (p0 * scale + offset, p1 * scale + offset,
+            np.asarray(r0, np.float64) * scale,
+            np.asarray(r1, np.float64) * scale)
+
+
+def load(path):
+    """-> (scene_dict, camera_dict) in the shared oracle format."""
+    with open(path) as f:
+        doc = json.load(f)
+    base = os.path.dirname(os.path.abspath(path))
+    cam = doc.get("camera", {})
+    camera = {
+        "position": np.asarray(cam.get("position", [0, 0, 2]), np.float64),
+        "look_at": np.asarray(cam.get("look_at", [0, 0, 0]), np.float64),
+        "up": np.asarray(cam.get("up", [0, 1, 0]), np.float64),
+        "vfov_deg": float(cam.get("vfov_deg", 35.0)),
+    }
+    scene = {
+        "segments": _resolve_strands(doc["strands"], base),
+        "hair_material": _resolve_material(doc.get("hair_material", {})),
+        "spheres": doc.get("spheres", []),
+        "planes": doc.get("planes", []),
+        "point_lights": doc.get("point_lights", []),
+        "environment": np.asarray(doc.get("environment", [0, 0, 0]),
+                                  np.float64),
+    }
+    return scene, camera
+
+
+def save(path, scene, camera, strands_ply="strands.ply"):
+    """Write the JSON + a PLY next to it holding the strand geometry."""
+    from . import ply
+    base = os.path.dirname(os.path.abspath(path))
+    p0, p1, r0, r1 = scene["segments"]
+    # rebuild a vertex/line representation from the segment soup
+    v = np.concatenate([p0, p1])
+    r = np.concatenate([r0, r1])
+    n = len(p0)
+    lines = np.stack([np.arange(n), np.arange(n) + n], axis=-1)
+    ply.save_strands(os.path.join(base, strands_ply), v, r, lines)
+    m = scene["hair_material"]
+    doc = {
+        "camera": {k: np.asarray(v).tolist() if k != "vfov_deg" else float(v)
+                   for k, v in camera.items()},
+        "hair_material": {
+            "sigma_a": np.asarray(m["sigma_a"]).tolist(),
+            "beta_m": float(m["beta_m"]), "beta_n": float(m["beta_n"]),
+            "alpha_deg": float(np.rad2deg(m.get("alpha", 0.0349066))),
+            "eta": float(m.get("eta", 1.55)),
+        },
+        "strands": {"ply": strands_ply},
+        "spheres": scene.get("spheres", []),
+        "planes": scene.get("planes", []),
+        "point_lights": scene.get("point_lights", []),
+        "environment": np.asarray(scene.get("environment",
+                                            [0, 0, 0])).tolist(),
+    }
+
+    def clean(x):
+        if isinstance(x, dict):
+            return {k: clean(v) for k, v in x.items()}
+        if isinstance(x, (list, tuple)):
+            return [clean(v) for v in x]
+        if isinstance(x, np.ndarray):
+            return x.tolist()
+        if isinstance(x, (np.floating, np.integer)):
+            return float(x)
+        return x
+
+    with open(path, "w") as f:
+        json.dump(clean(doc), f, indent=1)

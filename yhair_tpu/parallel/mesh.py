@@ -1,0 +1,167 @@
+"""Device-mesh sharding for rendering and inverse rendering.
+
+TPU-native replacement for the reference's CPU thread pool
+(`parallel_for` over pixel tiles [U:libs/yocto/yocto_trace.cpp],
+SURVEY.md §2.12 parallelism table): the ray batch (pixel x sample) is the
+data-parallel axis, sharded over a 1-D mesh with `shard_map`; the scene
+and BVH are replicated (hair scenes are far smaller than HBM); hair-
+parameter gradients are `psum`-all-reduced across devices inside the
+training step so XLA can overlap the reduction with the backward pass.
+
+RNG is counter-based per (pixel, sample) — fold_in of global ids — so a
+render is bit-identical for any device count (SURVEY.md §5 checkpoint row,
+tested in tests/test_sharding.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.camera import Camera, camera_rays
+from ..core.rng import n_uniform_dims
+from ..core.scene import Scene
+from ..integrator import path as jpath
+
+AXIS = "rays"
+
+
+def make_mesh(devices=None, axis=AXIS) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def _ray_uniforms(key, pixel_ids, sample_ids, max_depth, dtype):
+    """Per-ray uniforms from global (pixel, sample) counters."""
+    nd = n_uniform_dims(max_depth)
+
+    def one(pid, sid):
+        k = jax.random.fold_in(jax.random.fold_in(key, sid), pid)
+        return jax.random.uniform(k, (nd,), dtype)
+
+    return jax.vmap(one)(pixel_ids, sample_ids)
+
+
+def _trace_pixels(scene: Scene, cam: Camera, width, height, pixel_ids,
+                  sample_ids, key, max_depth, chunk, nearest_segments,
+                  sampler="path"):
+    """Trace one flat batch of (pixel, sample) rays -> (B, 3) radiance."""
+    dt = scene.env.dtype
+    u = _ray_uniforms(key, pixel_ids, sample_ids, max_depth, dt)
+    i = (pixel_ids % width).astype(dt)
+    j = (pixel_ids // width).astype(dt)
+    o, d = camera_rays(cam, width, height, i, j, u[:, :2])
+    return jpath.trace(scene, o, d, u, max_depth=max_depth, chunk=chunk,
+                       nearest_segments=nearest_segments, sampler=sampler)
+
+
+def render_fn(width, height, spp, max_depth=6, chunk=2048,
+              nearest_segments=None, mesh: Mesh | None = None,
+              sampler="path"):
+    """Build a render function (scene, cam, key) -> (H, W, 3) image.
+
+    With a mesh, the flat ray batch is sharded over AXIS via shard_map;
+    without, it runs single-device. Identical results either way.
+    """
+    n_rays = width * height * spp
+
+    def flat_ids():
+        ray = jnp.arange(n_rays, dtype=jnp.int32)
+        return ray // spp, ray % spp  # pixel id, sample id
+
+    def body(scene, cam, key, pixel_ids, sample_ids):
+        L = _trace_pixels(scene, cam, width, height, pixel_ids, sample_ids,
+                          key, max_depth, chunk, nearest_segments, sampler)
+        return L
+
+    if mesh is None:
+        def render(scene, cam, key):
+            pid, sid = flat_ids()
+            L = body(scene, cam, key, pid, sid)
+            return L.reshape(height, width, spp, 3).mean(2)
+        return render
+
+    n_dev = mesh.devices.size
+    if n_rays % n_dev:
+        raise ValueError(f"rays {n_rays} not divisible by devices {n_dev}")
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS))
+
+    def render(scene, cam, key):
+        pid, sid = flat_ids()
+        L = sharded(scene, cam, key, pid, sid)
+        return L.reshape(height, width, spp, 3).mean(2)
+
+    return render
+
+
+def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
+                  nearest_segments=None, mesh: Mesh | None = None,
+                  optimizer=None):
+    """Build an inverse-rendering step:
+    (params, opt_state, scene, cam, target, key) ->
+        (params, opt_state, loss, grads)
+
+    params is a dict of hair-parameter leaves (subset of HairMaterial
+    fields). Loss = mean squared error against the target image. Gradients
+    are psum'd across the mesh inside the sharded region.
+    """
+    import optax
+
+    optimizer = optimizer or optax.adam(5e-2)
+    n_rays = width * height * spp
+
+    def local_loss(params, scene, cam, key, pixel_ids, sample_ids,
+                   target_rows):
+        """target_rows are per-RAY (each pixel's target repeated spp times,
+        rays of one pixel contiguous) so a flat ray shard always contains
+        whole pixels and per-pixel sample means stay local."""
+        hair = scene.hair._replace(**params)
+        sc = scene._replace(hair=hair)
+        L = _trace_pixels(sc, cam, width, height, pixel_ids, sample_ids,
+                          key, max_depth, chunk, nearest_segments)
+        img_pix = L.reshape(-1, spp, 3).mean(1)
+        tgt_pix = target_rows.reshape(-1, spp, 3)[:, 0]
+        return jnp.mean((img_pix - tgt_pix) ** 2)
+
+    loss_and_grad = jax.value_and_grad(local_loss)
+
+    if mesh is not None:
+        n_dev = mesh.devices.size
+        if (width * height) % n_dev:
+            raise ValueError("pixel count must divide the mesh size")
+
+        def shard_body(params, scene, cam, key, pixel_ids, sample_ids,
+                       target_rows):
+            loss, grads = loss_and_grad(params, scene, cam, key, pixel_ids,
+                                        sample_ids, target_rows)
+            # cross-device reduction of the data-parallel gradient; XLA's
+            # latency-hiding scheduler overlaps it with the backward pass
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, AXIS), grads)
+            return jax.lax.pmean(loss, AXIS), grads
+
+        compute = jax.shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(), P(), P(), P(), P(AXIS), P(AXIS), P(AXIS)),
+            out_specs=(P(), P()))
+    else:
+        compute = loss_and_grad
+
+    def step(params, opt_state, scene, cam, target, key):
+        ray = jnp.arange(n_rays, dtype=jnp.int32)
+        pid, sid = ray // spp, ray % spp
+        tgt_rows = jnp.repeat(target.reshape(-1, 3), spp, axis=0)
+        loss, grads = compute(params, scene, cam, key, pid, sid, tgt_rows)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, grads
+
+    step.optimizer = optimizer
+    return step
