@@ -27,12 +27,26 @@ def load_scene(args):
     return scene, cam
 
 
-def build_device_scene(scene_d, cam_d, use_bvh=True, leaf_size=4):
+def build_device_scene(scene_d, cam_d, use_bvh=True, leaf_size=4,
+                       accel="auto"):
+    """accel: 'cluster' (Pallas kernel), 'bvh' (skip-pointer walk),
+    'brute' (chunked scan), or 'auto' (cluster on TPU, bvh on CPU)."""
+    import jax
+
     from ..accel import build_scene_bvh
     from ..core import scene as jscene
     sc = jscene.from_dict(scene_d)
     cam = jscene.camera_from_dict(cam_d)
-    if use_bvh and sc.segments.p0.shape[0] > 64:
+    if not use_bvh or sc.segments.p0.shape[0] <= 64:
+        return sc, cam, None
+    if accel == "auto":
+        platform = jax.devices()[0].platform
+        accel = "bvh" if platform == "cpu" else "cluster"
+    if accel == "cluster":
+        from ..ops import build_scene_clusters
+        interpret = jax.devices()[0].platform == "cpu"
+        sc, _cl, nearest = build_scene_clusters(sc, interpret=interpret)
+    elif accel == "bvh":
         sc, _bvh, nearest = build_scene_bvh(sc, leaf_size=leaf_size)
     else:
         nearest = None

@@ -33,6 +33,8 @@ def build_parser():
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--spp-per-pass", type=int, default=1)
     p.add_argument("--no-bvh", action="store_true")
+    p.add_argument("--accel", choices=["auto", "cluster", "bvh", "brute"],
+                   default="auto", help="intersection backend")
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu)")
     return p
@@ -60,7 +62,8 @@ def main(argv=None):
 
     t0 = time.time()
     sc, cam, nearest = build_device_scene(scene_d, cam_d,
-                                          use_bvh=not args.no_bvh)
+                                          use_bvh=not args.no_bvh,
+                                          accel=args.accel)
     print(f"scene: {sc.segments.p0.shape[0]} segments, "
           f"{sc.n_lights} lights; bvh={'on' if nearest else 'off'} "
           f"({time.time()-t0:.1f}s)")
