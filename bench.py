@@ -25,10 +25,14 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    import os
+
+    # the remote Mosaic (Pallas) compiler needs the accelerator type
+    os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
+
     from scenes.generators import curly_hairball
-    from yhair_tpu.accel import build_scene_bvh
     from yhair_tpu.core import scene as jscene
-    from yhair_tpu.parallel import mesh as pmesh
+    from yhair_tpu.ops import build_scene_clusters
 
     width = height = 512
     spp = 1
@@ -39,7 +43,7 @@ def main():
     scene_d, cam_d = curly_hairball(n_strands=n_strands, n_seg=12)
     sc = jscene.from_dict(scene_d)
     cam = jscene.camera_from_dict(cam_d)
-    sc2, bvh, nearest = build_scene_bvh(sc)
+    sc2, _cl, _ = build_scene_clusters(sc)
     n_lights = sc2.n_lights
     rays_per_camera_ray = max_depth * (1 + n_lights)
 
@@ -57,9 +61,8 @@ def main():
         u = jax.vmap(one)(pixel_ids, sample_ids)
         i = (pixel_ids % width).astype(jnp.float32)
         j = (pixel_ids // width).astype(jnp.float32)
-        o, d = camera_rays(cam, width, height, i, j, u[:, :2])
-        return jpath.trace(scene, o, d, u, max_depth=max_depth,
-                           nearest_segments=nearest)
+        o, d = camera_rays(cam, width, height, i, j, u[:, :4])
+        return jpath.trace(scene, o, d, u, max_depth=max_depth)
 
     def fwd_bwd_batch(params, pixel_ids, sample_ids, key):
         def loss(p):

@@ -146,14 +146,16 @@ def intersect_plane(ray_o, ray_d, point, normal, t_min=1e-4, t_max=INF):
 
 
 def camera_rays(cam, i, j, u_px):
-    """Pinhole camera rays. cam: dict(position, look_at, up, vfov_deg, aspect).
+    """Thin-lens camera rays (pinhole when aperture = 0).
 
-    i, j: (N,) pixel coords (col, row); u_px: (N, 2) subpixel jitter.
-    Returns (origins, directions) as (N, 3). The image plane convention
-    (row 0 = top) is shared with the JAX camera — keep in sync.
+    cam: dict(position, look_at, up, vfov_deg[, aperture, focus_dist]).
+    i, j: (N,) pixel coords (col, row); u_px: (N, 4): subpixel jitter in
+    [:, 0:2], lens-disk sample in [:, 2:4]. Returns (origins, directions)
+    (N, 3). Row 0 = top; conventions shared with the JAX camera.
     """
     pos = np.asarray(cam["position"], dtype=np.float64)
-    fwd = normalize(np.asarray(cam["look_at"], dtype=np.float64) - pos)
+    look_at = np.asarray(cam["look_at"], dtype=np.float64)
+    fwd = normalize(look_at - pos)
     right = normalize(np.cross(fwd, np.asarray(cam["up"], dtype=np.float64)))
     up = np.cross(right, fwd)
     tan_half = np.tan(np.deg2rad(cam["vfov_deg"]) * 0.5)
@@ -163,4 +165,18 @@ def camera_rays(cam, i, j, u_px):
     sy = 1.0 - (j + u_px[:, 1]) / h * 2.0
     d = (fwd[None, :] + sx[:, None] * tan_half * aspect * right[None, :]
          + sy[:, None] * tan_half * up[None, :])
-    return np.broadcast_to(pos, d.shape).copy(), normalize(d)
+    o = np.broadcast_to(pos, d.shape).copy()
+    aperture = float(cam.get("aperture", 0.0))
+    if aperture > 0.0:
+        focus = float(cam.get("focus_dist",
+                              np.linalg.norm(look_at - pos)))
+        # concentric-free simple disk sample (sqrt(r), theta)
+        r = aperture * 0.5 * np.sqrt(u_px[:, 2])
+        theta = 2.0 * np.pi * u_px[:, 3]
+        lens = (r * np.cos(theta))[:, None] * right[None, :] \
+            + (r * np.sin(theta))[:, None] * up[None, :]
+        # focal point along the (unnormalized) pinhole ray: fwd component 1
+        focal_pt = o + d * focus
+        o = o + lens
+        d = focal_pt - o
+    return o, normalize(d)

@@ -7,12 +7,13 @@ features the correctness ladder needs (hair segments, diffuse
 spheres/planes, point lights, constant environment).
 
 Determinism contract: all randomness comes from the caller-provided
-`uniforms` tensor of shape (n_rays, 2 + max_depth * 6):
+`uniforms` tensor of shape (n_rays, 4 + max_depth * 8):
   [0:2]                          subpixel jitter
-  [2 + 6*d : 2 + 6*d + 4]        BSDF sample at bounce d
-  [2 + 6*d + 4]                  Russian roulette at bounce d
-  [2 + 6*d + 5]                  spare (light selection; unused — all
-                                 point lights are summed deterministically)
+  [2:4]                          thin-lens disk sample
+  [4 + 8*d : 4 + 8*d + 4]        BSDF sample at bounce d
+  [4 + 8*d + 4]                  Russian roulette at bounce d
+  [4 + 8*d + 5]                  light selection (reserved)
+  [4 + 8*d + 6 : 4 + 8*d + 8]    environment-map NEE sample at bounce d
 The JAX integrator consumes the SAME layout, so feeding both the same
 uniforms must reproduce the same image up to float32 tolerance.
 """
@@ -25,8 +26,8 @@ from . import geometry as geo
 from .hair_bsdf import HairBSDF
 
 RR_START = 3
-D_PIXEL = 2
-D_BOUNCE = 6
+D_PIXEL = 4
+D_BOUNCE = 8
 
 
 def n_uniform_dims(max_depth):
@@ -100,6 +101,12 @@ def _occluded(scene, o, d, dist):
     return hs["hit"] & (hs["t"] < dist * (1.0 - 1e-4))
 
 
+def _occluded_far(scene, o, d):
+    """Any-hit to infinity (environment shadow rays)."""
+    hs = _intersect_scene(scene, o, d)
+    return hs["hit"]
+
+
 def _hair_bsdf(scene, h, key="hair_material"):
     m = scene.get(key) or scene["hair_material"]
     return HairBSDF(h=h, sigma_a=np.asarray(m["sigma_a"], np.float64),
@@ -120,12 +127,28 @@ def trace(scene, o, d, uniforms, max_depth=4):
     alive = np.ones(n, bool)
     env = np.asarray(scene.get("environment", [0.0, 0.0, 0.0]), np.float64)
     lights = scene.get("point_lights", [])
+    env_map = scene.get("env_map")
+    if env_map is not None and not hasattr(env_map, "sample"):
+        from .envmap import EnvMap
+        env_map = EnvMap(env_map)
+    # pdf of the previous bounce's BSDF sample (solid angle) for MIS
+    prev_pdf = np.zeros(n)
 
     for depth in range(max_depth):
         hs = _intersect_scene(scene, o, d)
-        # environment on miss
+        # environment on miss; env-map part is MIS-weighted against the
+        # previous bounce's env NEE (depth 0 came from the camera: w = 1)
         miss = alive & ~hs["hit"]
         L[miss] += beta[miss] * env
+        if env_map is not None:
+            le = env_map.eval(d)
+            if depth == 0:
+                w = np.ones(n)
+            else:
+                pe = env_map.pdf(d)
+                w = prev_pdf ** 2 / np.maximum(prev_pdf ** 2 + pe ** 2,
+                                               1e-30)
+            L[miss] += beta[miss] * le[miss] * w[miss, None]
         alive = alive & hs["hit"]
         if not alive.any():
             break
@@ -173,6 +196,24 @@ def trace(scene, o, d, uniforms, max_depth=4):
             contrib = beta * f * li / np.maximum(dist[:, None] ** 2, 1e-12)
             L += np.where((alive & vis)[:, None], contrib, 0.0)
 
+        # ---- environment-map NEE with MIS (if an env map is present)
+        if env_map is not None:
+            ue = uniforms[:, D_PIXEL + D_BOUNCE * depth + 6:
+                          D_PIXEL + D_BOUNCE * depth + 8]
+            wi_w, pdf_e = env_map.sample(ue[:, 0], ue[:, 1])
+            le = env_map.eval(wi_w)
+            sh_o = pos + wi_w * ray_eps[:, None]
+            vis = ~_occluded_far(scene, sh_o, wi_w)
+            wi = _to_local(wi_w, fx, fy, fz)
+            f_hair = bsdf_eval.f(wo, wi) * np.abs(wi[:, 2:3])
+            f_diff = hs["albedo"] / np.pi * np.maximum(wi[:, 2:3], 0.0)
+            f = np.where(is_hair[:, None], f_hair, f_diff)
+            pdf_b = np.where(is_hair, bsdf.pdf(wo, wi),
+                             np.maximum(wi[:, 2], 0.0) / np.pi)
+            w_mis = pdf_e ** 2 / np.maximum(pdf_e ** 2 + pdf_b ** 2, 1e-30)
+            contrib = beta * f * le * (w_mis / np.maximum(pdf_e, 1e-12))[:, None]
+            L += np.where((alive & vis)[:, None], contrib, 0.0)
+
         # ---- BSDF sampling for the next bounce
         ub = uniforms[:, D_PIXEL + D_BOUNCE * depth:
                       D_PIXEL + D_BOUNCE * depth + 4]
@@ -192,6 +233,10 @@ def trace(scene, o, d, uniforms, max_depth=4):
         wi = np.where(is_hair[:, None], wi_h, wi_d)
         weight = np.where(is_hair[:, None], w_hair, w_diff)
         weight_base = np.where(is_hair[:, None], w_hair_base, w_diff)
+
+        # solid-angle pdf of the chosen continuation (for env MIS)
+        pdf_diff = np.maximum(wi_d[:, 2], 0.0) / np.pi
+        prev_pdf = np.where(is_hair, pdf_h, pdf_diff)
 
         beta = beta * weight
         beta_base = beta_base * weight_base
@@ -221,6 +266,6 @@ def render(scene, cam, uniforms, max_depth=4):
     j = np.repeat(jj.reshape(-1), spp)
     u = uniforms.reshape(h * w * spp, -1)
     cam = dict(cam, width=w, height=h)
-    o, d = geo.camera_rays(cam, i, j, u[:, :2])
+    o, d = geo.camera_rays(cam, i, j, u[:, :4])
     L = trace(scene, o, d, u, max_depth=max_depth)
     return L.reshape(h, w, spp, 3).mean(axis=2)

@@ -204,8 +204,10 @@ def furry_bunny(n_strands=50000, n_seg=6, seed=17):
     cp = np.concatenate(cps)
     segs = _strands_to_segments(cp, np.full(n_strands, 0.0015),
                                 np.full(n_strands, 0.0006), n_seg=n_seg)
+    from oracle.envmap import gradient_sky
     scene = {
         "segments": segs,
+        "env_map": gradient_sky(),
         "hair_material": dict(DEFAULT_HAIR,
                               sigma_a=np.array([0.8, 1.2, 1.6]),
                               beta_m=0.4, beta_n=0.5),

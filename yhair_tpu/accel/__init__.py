@@ -23,5 +23,5 @@ def build_scene_bvh(scene: Scene, leaf_size=4):
                       leaf_size=leaf_size)
     dev = traverse.DeviceBVH.from_host(host)
     reordered = Segments(dev.p0, dev.p1, dev.r0, dev.r1)
-    scene2 = scene._replace(segments=reordered)
+    scene2 = scene._replace(segments=reordered, accel=dev)
     return scene2, dev, traverse.make_nearest_fn(dev, reordered)

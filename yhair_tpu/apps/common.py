@@ -44,13 +44,12 @@ def build_device_scene(scene_d, cam_d, use_bvh=True, leaf_size=4,
         accel = "bvh" if platform == "cpu" else "cluster"
     if accel == "cluster":
         from ..ops import build_scene_clusters
-        interpret = jax.devices()[0].platform == "cpu"
-        sc, _cl, nearest = build_scene_clusters(sc, interpret=interpret)
+        sc, _cl, _ = build_scene_clusters(sc)
     elif accel == "bvh":
-        sc, _bvh, nearest = build_scene_bvh(sc, leaf_size=leaf_size)
-    else:
-        nearest = None
-    return sc, cam, nearest
+        sc, _bvh, _ = build_scene_bvh(sc, leaf_size=leaf_size)
+    # the acceleration structure rides in scene.accel (a traced jit
+    # argument); returning None here keeps callers from closing over it
+    return sc, cam, None
 
 
 def progressive_render(sc, cam, nearest, width, height, spp, max_depth,

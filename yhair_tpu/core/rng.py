@@ -6,7 +6,8 @@ The reference seeds a PCG32 per pixel [U:libs/yocto/yocto_math.h rng_state]
 independent of sharding or evaluation order (SURVEY.md §5 checkpoint row).
 
 The integrator consumes a flat uniforms tensor with the SAME layout as the
-oracle (oracle/pathtrace.py): [2 pixel-jitter dims, then 6 dims per bounce].
+oracle (oracle/pathtrace.py): [2 pixel-jitter + 2 lens dims, then 8 dims
+per bounce].
 """
 
 from __future__ import annotations
@@ -14,8 +15,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-D_PIXEL = 2
-D_BOUNCE = 6
+D_PIXEL = 4
+D_BOUNCE = 8
 
 
 def n_uniform_dims(max_depth: int) -> int:

@@ -34,7 +34,16 @@ class Scene(NamedTuple):
     pln_albedo: jax.Array    # (NP, 3)
     light_pos: jax.Array     # (L, 3)
     light_intensity: jax.Array  # (L, 3)
-    env: jax.Array           # (3,)
+    env: jax.Array           # (3,) constant environment term
+    env_map: jax.Array       # (H, W, 3) equirect env map; (0, 0, 3) = none
+    env_pmf: jax.Array       # (H*W,) texel pmf for importance sampling
+    env_cdf: jax.Array       # (H*W,)
+    env_sin: jax.Array       # (H,) sin(theta) per row
+    accel: object = None     # acceleration structure pytree (Clusters /
+                             # DeviceBVH) or None -> brute-force scan;
+                             # carried in the Scene so it crosses jit
+                             # boundaries as a traced argument, never as
+                             # baked-in constants
 
     @property
     def n_spheres(self):
@@ -81,7 +90,22 @@ def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
         light_intensity=arr([l["intensity"] for l in lights], (0, 3)),
         env=jnp.asarray(np.asarray(scene.get("environment", [0.0, 0.0, 0.0]),
                                    np.float64), dtype),
+        **_env_map_arrays(scene.get("env_map"), dtype),
     )
+
+
+def _env_map_arrays(env_map, dtype):
+    if env_map is None:
+        return {"env_map": jnp.zeros((0, 0, 3), dtype),
+                "env_pmf": jnp.zeros((0,), dtype),
+                "env_cdf": jnp.zeros((0,), dtype),
+                "env_sin": jnp.zeros((0,), dtype)}
+    from oracle.envmap import EnvMap
+    em = env_map if hasattr(env_map, "pmf") else EnvMap(env_map)
+    return {"env_map": jnp.asarray(em.image, dtype),
+            "env_pmf": jnp.asarray(em.pmf, dtype),
+            "env_cdf": jnp.asarray(em.cdf, dtype),
+            "env_sin": jnp.asarray(em.sin_t, dtype)}
 
 
 def camera_from_dict(cam: dict) -> Camera:

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from ..bsdf import hair as jh
 from ..core.camera import Camera, camera_rays
+from ..core.envmap import env_eval, env_pdf, env_sample, has_env
 from ..core.rng import D_BOUNCE, D_PIXEL, n_uniform_dims
 from ..core.scene import Scene
 from ..geometry import segments as seg
@@ -47,20 +48,38 @@ class Hit(NamedTuple):
     albedo: jax.Array     # (N, 3)
 
 
+def _nearest(scene: Scene, o, d, chunk, nearest_segments):
+    """Resolve the segment search: explicit hook > scene.accel > brute
+    force. scene.accel travels inside the Scene pytree so the structure
+    arrays are jit ARGUMENTS (a closure would bake megabytes of geometry
+    into the compiled program as constants)."""
+    if nearest_segments is not None:
+        return nearest_segments(o, d)
+    accel = scene.accel
+    if accel is None:
+        return seg.nearest_hit(o, d, scene.segments, chunk=chunk)
+    from ..accel.traverse import DeviceBVH
+    from ..ops.clusters import Clusters
+    if isinstance(accel, Clusters):
+        from ..ops import intersect_kernel as ik
+        interp = jax.devices()[0].platform == "cpu"
+        return ik.make_nearest_fn(accel, interpret=interp)(o, d)
+    if isinstance(accel, DeviceBVH):
+        from ..accel import traverse
+        t, idx, hit, _ = traverse.nearest_hit(o, d, accel)
+        return t, idx, hit
+    raise TypeError(f"unknown accel type {type(accel)}")
+
+
 def intersect_scene(scene: Scene, o, d, chunk=2048,
                     nearest_segments=None) -> Hit:
     """Closest hit over hair segments + analytic props.
 
     `nearest_segments(o, d) -> (t, idx, hit)` can override the segment
-    search (BVH traversal or the Pallas kernel); defaults to the chunked
-    brute-force scan.
+    search; by default scene.accel decides (see _nearest).
     """
     n = o.shape[0]
-    if nearest_segments is None:
-        t_seg, idx, hit_seg = seg.nearest_hit(o, d, scene.segments,
-                                              chunk=chunk)
-    else:
-        t_seg, idx, hit_seg = nearest_segments(o, d)
+    t_seg, idx, hit_seg = _nearest(scene, o, d, chunk, nearest_segments)
 
     best_t = jnp.where(hit_seg, t_seg, INF)
     mat = jnp.where(hit_seg, 0, -1).astype(jnp.int32)
@@ -120,9 +139,31 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
 
 def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
                    nearest_segments=None) -> jax.Array:
-    hs = intersect_scene(scene, o, d, chunk=chunk,
-                         nearest_segments=nearest_segments)
-    return hs.hit & (hs.t < dist * (1.0 - 1e-4))
+    """Lean any-hit: skips shading-attribute computation (shadow rays only
+    need a boolean), roughly halving shadow-ray cost vs intersect_scene."""
+    t_seg, _, hit_seg = _nearest(scene, o, d, chunk, nearest_segments)
+    limit = dist * (1.0 - 1e-4)
+    occ = hit_seg & (t_seg < limit)
+
+    if scene.n_spheres:
+        oc = o[:, None, :] - scene.sph_center[None]
+        b = jnp.sum(oc * d[:, None, :], -1)
+        c = jnp.sum(oc * oc, -1) - scene.sph_radius[None] ** 2
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t0, t1 = -b - sq, -b + sq
+        t_s = jnp.where((disc >= 0) & (t0 > 1e-4), t0,
+                        jnp.where((disc >= 0) & (t1 > 1e-4), t1, INF))
+        occ = occ | (t_s.min(-1) < limit)
+
+    if scene.n_planes:
+        denom = jnp.sum(d[:, None, :] * scene.pln_normal[None], -1)
+        tp = jnp.sum((scene.pln_point[None] - o[:, None, :])
+                     * scene.pln_normal[None], -1) / jnp.where(
+            jnp.abs(denom) < 1e-12, 1e-12, denom)
+        tp = jnp.where((jnp.abs(denom) > 1e-9) & (tp > 1e-4), tp, INF)
+        occ = occ | (tp.min(-1) < limit)
+    return occ
 
 
 def _diffuse_frame(nrm):
@@ -186,13 +227,27 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
     ub_all = uniforms[:, D_PIXEL:D_PIXEL + D_BOUNCE * max_depth]
     ub_steps = ub_all.reshape(n, max_depth, D_BOUNCE).transpose(1, 0, 2)
 
+    use_env = has_env(scene)
+
     def bounce(carry, xs):
-        o, d, L, beta, alive = carry
+        o, d, L, beta, alive, prev_pdf = carry
         ub, depth = xs
         hs = intersect_scene(scene, o, d, chunk=chunk,
                              nearest_segments=nearest_segments)
         miss = alive & ~hs.hit
         L = L + jnp.where(miss[:, None], beta * scene.env, 0.0)
+        if use_env:
+            # env-map radiance on miss, MIS-weighted against the previous
+            # bounce's env NEE (camera rays: weight 1)
+            le = env_eval(scene, d)
+            if use_nee:
+                pe = env_pdf(scene, d)
+                w = jnp.where(depth == 0, 1.0,
+                              prev_pdf ** 2 / jnp.maximum(
+                                  prev_pdf ** 2 + pe ** 2, 1e-30))
+            else:  # naive sampler: BSDF sampling is the only strategy
+                w = jnp.ones((n,), d.dtype)
+            L = L + jnp.where(miss[:, None], beta * le * w[:, None], 0.0)
         alive = alive & hs.hit
 
         is_hair = hs.mat == 0
@@ -226,6 +281,28 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                                                     1e-12)
             L = L + jnp.where((alive & vis)[:, None], contrib, 0.0)
 
+        # environment-map NEE with MIS
+        if use_env and use_nee:
+            wi_w, pdf_e = env_sample(scene, ub[:, 6], ub[:, 7])
+            le = env_eval(scene, wi_w)
+            sh_o = pos + wi_w * ray_eps[:, None]
+            vis = ~occluded_scene(scene, sh_o, wi_w, jnp.full((n,), INF),
+                                  chunk=chunk,
+                                  nearest_segments=nearest_segments)
+            wi = _to_local(wi_w, fx, fy, fz)
+            f_hair = jh.hair_f(scene.hair, h, wo, wi) * jnp.abs(wi[:, 2:3])
+            f_diff = hs.albedo / jnp.pi * jnp.maximum(wi[:, 2:3], 0.0)
+            f = jnp.where(is_hair[:, None], f_hair, f_diff)
+            pdf_b = jnp.where(
+                is_hair,
+                jax.lax.stop_gradient(jh.hair_pdf(scene.hair, h, wo, wi)),
+                jnp.maximum(wi[:, 2], 0.0) / jnp.pi)
+            w_mis = pdf_e ** 2 / jnp.maximum(pdf_e ** 2 + pdf_b ** 2,
+                                             1e-30)
+            contrib = beta * f * le * (
+                w_mis / jnp.maximum(pdf_e, 1e-12))[:, None]
+            L = L + jnp.where((alive & vis)[:, None], contrib, 0.0)
+
         # BSDF sampling (detached directions)
         wi_h, f_h, pdf_h = jh.hair_sample(
             scene.hair, h, jax.lax.stop_gradient(wo), ub[:, :4])
@@ -242,6 +319,8 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                           jnp.sqrt(jnp.maximum(0.0, 1.0 - ub[:, 0]))], -1)
         wi = jnp.where(is_hair[:, None], wi_h, wi_d)
         weight = jnp.where(is_hair[:, None], w_hair, hs.albedo)
+        pdf_diff = jnp.maximum(wi_d[:, 2], 0.0) / jnp.pi
+        prev_pdf = jnp.where(is_hair, pdf_h, pdf_diff)
 
         beta = beta * weight
         d_new = _to_world(wi, fx, fy, fz)
@@ -258,12 +337,12 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         alive = alive & ~die
         beta = jnp.where(rr_on[None] if rr_on.ndim else rr_on,
                          beta / p_cont[:, None], beta)
-        return (o_new, d_new, L, beta, alive), None
+        return (o_new, d_new, L, beta, alive, prev_pdf), None
 
     # init derived from o so varying-axis types line up under shard_map
     zero3 = (o + d) * 0.0
-    init = (o, d, zero3, zero3 + 1.0, zero3[:, 0] < 1.0)
-    (o, d, L, beta, alive), _ = jax.lax.scan(
+    init = (o, d, zero3, zero3 + 1.0, zero3[:, 0] < 1.0, zero3[:, 0])
+    (o, d, L, beta, alive, _), _ = jax.lax.scan(
         bounce, init, (ub_steps, jnp.arange(max_depth)))
     return L
 
@@ -277,7 +356,7 @@ def render(scene: Scene, cam: Camera, uniforms, max_depth=4, chunk=2048,
     j = jnp.repeat(jj.reshape(-1), spp)
     u = uniforms.reshape(hgt * wid * spp, -1)
     o, d = camera_rays(cam, wid, hgt, i.astype(u.dtype), j.astype(u.dtype),
-                       u[:, :2])
+                       u[:, :4])
     L = trace(scene, o, d, u, max_depth=max_depth, chunk=chunk,
               nearest_segments=nearest_segments, sampler=sampler)
     return L.reshape(hgt, wid, spp, 3).mean(axis=2)

@@ -90,6 +90,9 @@ def load(path):
         "up": np.asarray(cam.get("up", [0, 1, 0]), np.float64),
         "vfov_deg": float(cam.get("vfov_deg", 35.0)),
     }
+    for k in ("aperture", "focus_dist"):
+        if k in cam:
+            camera[k] = float(cam[k])
     scene = {
         "segments": _resolve_strands(doc["strands"], base),
         "hair_material": _resolve_material(doc.get("hair_material", {})),
@@ -115,7 +118,8 @@ def save(path, scene, camera, strands_ply="strands.ply"):
     ply.save_strands(os.path.join(base, strands_ply), v, r, lines)
     m = scene["hair_material"]
     doc = {
-        "camera": {k: np.asarray(v).tolist() if k != "vfov_deg" else float(v)
+        "camera": {k: (float(v) if np.ndim(v) == 0 else
+                       np.asarray(v).tolist())
                    for k, v in camera.items()},
         "hair_material": {
             "sigma_a": np.asarray(m["sigma_a"]).tolist(),

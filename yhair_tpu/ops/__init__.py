@@ -22,7 +22,7 @@ def build_scene_clusters(scene: Scene, cluster_size=128, block=256,
                         cluster_size=cluster_size)
     reordered = Segments(cl.s0[:, :3], cl.s1[:, :3], cl.s0[:, 3],
                          cl.s1[:, 3])
-    scene2 = scene._replace(segments=reordered)
+    scene2 = scene._replace(segments=reordered, accel=cl)
     fn = intersect_kernel.make_nearest_fn(cl, block=block,
                                           interpret=interpret)
     return scene2, cl, fn

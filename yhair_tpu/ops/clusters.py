@@ -30,9 +30,20 @@ from ..accel import lbvh
 CLUSTER_SIZE = 128
 
 
+def _tile(s, n_clusters, k):
+    """(S, 4) -> (C, 4, k) contiguous per-cluster tiles."""
+    return np.ascontiguousarray(
+        s.reshape(n_clusters, k, 4).transpose(0, 2, 1))
+
+
 class Clusters(NamedTuple):
     s0: jax.Array        # (S, 4) p0.xyz, r0 — Morton-ordered, padded
     s1: jax.Array        # (S, 4) p1.xyz, r1
+    s0c: jax.Array       # (C, 4, k) per-cluster tiles for the Pallas
+    s1c: jax.Array       # (C, 4, k) kernel: cluster select is a LEADING-
+                         #   axis dynamic index (lane-dim dynamic slices
+                         #   explode Mosaic compile time; a flat (S, 4)
+                         #   layout pads 4 lanes -> 128, a 32x blowup)
     cmin: jax.Array      # (C, 3) cluster AABB min
     cmax: jax.Array      # (C, 3)
     seg_index: jax.Array  # (S,) original segment id, -1 = padding
@@ -42,7 +53,7 @@ class Clusters(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     Clusters,
-    lambda c: ((c.s0, c.s1, c.cmin, c.cmax, c.seg_index),
+    lambda c: ((c.s0, c.s1, c.s0c, c.s1c, c.cmin, c.cmax, c.seg_index),
                (c.n_clusters, c.cluster_size)),
     lambda aux, ch: Clusters(*ch, n_clusters=aux[0], cluster_size=aux[1]),
 )
@@ -56,6 +67,10 @@ def build(p0, p1, r0, r1, cluster_size=CLUSTER_SIZE, use_native=True):
         if out is not None:
             return Clusters(
                 s0=jnp.asarray(out["s0"]), s1=jnp.asarray(out["s1"]),
+                s0c=jnp.asarray(_tile(out["s0"], out["n_clusters"],
+                                      cluster_size)),
+                s1c=jnp.asarray(_tile(out["s1"], out["n_clusters"],
+                                      cluster_size)),
                 cmin=jnp.asarray(out["cmin"]), cmax=jnp.asarray(out["cmax"]),
                 seg_index=jnp.asarray(out["seg_index"]),
                 n_clusters=out["n_clusters"], cluster_size=cluster_size)
@@ -72,6 +87,8 @@ def build(p0, p1, r0, r1, cluster_size=CLUSTER_SIZE, use_native=True):
     s1 = np.concatenate([host.p1, host.r1[:, None]], 1).astype(np.float32)
     return Clusters(
         s0=jnp.asarray(s0), s1=jnp.asarray(s1),
+        s0c=jnp.asarray(_tile(s0, int(host.n_leaves), cluster_size)),
+        s1c=jnp.asarray(_tile(s1, int(host.n_leaves), cluster_size)),
         cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
         seg_index=jnp.asarray(host.seg_index),
         n_clusters=int(host.n_leaves), cluster_size=cluster_size)

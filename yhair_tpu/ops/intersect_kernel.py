@@ -33,7 +33,7 @@ from .clusters import Clusters
 
 INF = jnp.float32(1e30)
 T_MIN = 1e-4
-BLOCK = 256
+BLOCK = 128
 
 
 def _block_cluster_lists(o, d, cl: Clusters, block):
@@ -77,7 +77,7 @@ def _block_cluster_lists(o, d, cl: Clusters, block):
 
 
 def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, s0_ref, s1_ref,
-                t_ref, idx_ref, *, cluster_size, block):
+                t_ref, idx_ref, *, cluster_size, block, k_cap):
     b = pl.program_id(0)
     o = o_ref[:, :]              # (block, 3)
     d = d_ref[:, :]
@@ -87,24 +87,29 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, s0_ref, s1_ref,
     d_dot_o = jnp.sum(d * o, axis=1, keepdims=True)       # (block, 1)
     o_dot_o = jnp.sum(o * o, axis=1, keepdims=True)
 
+    n_hit = counts_ref[b]
+    # counts > k_cap are encoded as n_clusters (sentinel): the block's
+    # list overflowed SMEM, so scan every cluster in order instead
+    use_all = n_hit > k_cap
+
     def body(i, carry):
         t_best, idx_best = carry                          # (block,1) each
-        cid = ids_ref[b, i]
-        row = pl.multiple_of(cid * k, k)
-        s0 = s0_ref[pl.ds(row, k), :]                      # (k, 4)
-        s1 = s1_ref[pl.ds(row, k), :]
-        p0 = s0[:, :3]
-        p1 = s1[:, :3]
-        r0 = s0[:, 3:4]                                    # (k, 1)
-        r1 = s1[:, 3:4]
-        d2 = p1 - p0                                       # (k, 3)
+        cid = jnp.where(use_all, i,
+                        ids_ref[b, jnp.minimum(i, k_cap - 1)])
+        s0 = s0_ref[cid]                                   # (4, k)
+        s1 = s1_ref[cid]
+        p0 = s0[:3, :]                                     # (3, k)
+        p1 = s1[:3, :]
+        r0 = s0[3:4, :]                                    # (1, k)
+        r1 = s1[3:4, :]
+        d2 = p1 - p0                                       # (3, k)
 
         # dense closest-approach algebra over (block, k)
-        B = jnp.dot(d, d2.T, preferred_element_type=jnp.float32)
-        o_d2 = jnp.dot(o, d2.T, preferred_element_type=jnp.float32)
-        d_p0 = jnp.dot(d, p0.T, preferred_element_type=jnp.float32)
-        c_seg = jnp.sum(d2 * d2, axis=1)[None, :]          # (1, k)
-        p0_d2 = jnp.sum(p0 * d2, axis=1)[None, :]
+        B = jnp.dot(d, d2, preferred_element_type=jnp.float32)
+        o_d2 = jnp.dot(o, d2, preferred_element_type=jnp.float32)
+        d_p0 = jnp.dot(d, p0, preferred_element_type=jnp.float32)
+        c_seg = jnp.sum(d2 * d2, axis=0)[None, :]          # (1, k)
+        p0_d2 = jnp.sum(p0 * d2, axis=0)[None, :]
 
         dd = d_dot_o - d_p0                                # d . w0
         e = o_d2 - p0_d2                                   # d2 . w0
@@ -115,10 +120,10 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, s0_ref, s1_ref,
         # form cancels catastrophically in f32 at hair radii (~1e-3)
         dist2 = jnp.zeros_like(u)
         for ax in range(3):
-            off = ((o[:, ax:ax + 1] - p0[:, ax][None, :])
-                   + s * d[:, ax:ax + 1] - u * d2[:, ax][None, :])
+            off = ((o[:, ax:ax + 1] - p0[ax:ax + 1, :])
+                   + s * d[:, ax:ax + 1] - u * d2[ax:ax + 1, :])
             dist2 = dist2 + off * off
-        r = r0.T + (r1 - r0).T * u                         # (block, k)
+        r = r0 + (r1 - r0) * u                             # (block, k)
         ok = (dist2 <= r * r) & (s > T_MIN) & (s < t_best)
         s_m = jnp.where(ok, s, 1e30)
         j = jnp.argmin(s_m, axis=1)                        # (block,)
@@ -129,7 +134,6 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, s0_ref, s1_ref,
         idx_best = jnp.where(better[:, None], idx_new[:, None], idx_best)
         return t_best, idx_best
 
-    n_hit = counts_ref[b]
     init = (jnp.full((block, 1), 1e30, jnp.float32),
             jnp.zeros((block, 1), jnp.int32))
     t_best, idx_best = jax.lax.fori_loop(0, n_hit, body, init)
@@ -147,7 +151,13 @@ def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False):
     n = o.shape[0]
     assert n % block == 0, f"rays {n} % block {block}"
     nb = n // block
-    ids, counts = _block_cluster_lists(o, d, cl, block)
+    c = cl.n_clusters
+    ids_full, counts = _block_cluster_lists(o, d, cl, block)
+    # SMEM holds ~1MB of scalar-prefetch data; cap each block's cluster
+    # list and fall back to a full scan (sentinel count) on overflow
+    k_cap = max(32, min(c, (512 * 1024) // max(nb * 4, 1)))
+    ids = ids_full[:, :k_cap]
+    counts = jnp.where(counts > k_cap, c, counts).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -168,14 +178,14 @@ def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False):
         ],
     )
     kernel = functools.partial(_hit_kernel, cluster_size=cl.cluster_size,
-                               block=block)
+                               block=block, k_cap=k_cap)
     t, idx = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32),
                    jax.ShapeDtypeStruct((n, 1), jnp.int32)],
         interpret=interpret,
-    )(ids, counts, o, d, cl.s0, cl.s1)
+    )(ids, counts, o, d, cl.s0c, cl.s1c)
     t = t[:, 0]
     idx = idx[:, 0]
     hit = t < INF

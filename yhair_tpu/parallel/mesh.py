@@ -54,7 +54,7 @@ def _trace_pixels(scene: Scene, cam: Camera, width, height, pixel_ids,
     u = _ray_uniforms(key, pixel_ids, sample_ids, max_depth, dt)
     i = (pixel_ids % width).astype(dt)
     j = (pixel_ids // width).astype(dt)
-    o, d = camera_rays(cam, width, height, i, j, u[:, :2])
+    o, d = camera_rays(cam, width, height, i, j, u[:, :4])
     return jpath.trace(scene, o, d, u, max_depth=max_depth, chunk=chunk,
                        nearest_segments=nearest_segments, sampler=sampler)
 
