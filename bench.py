@@ -48,17 +48,14 @@ def main():
     rays_per_camera_ray = max_depth * (1 + n_lights)
 
     from yhair_tpu.core.camera import camera_rays
-    from yhair_tpu.core.rng import n_uniform_dims
     from yhair_tpu.integrator import path as jpath
+    from yhair_tpu.parallel import mesh as pmesh
 
     n_rays = width * height * spp
-    nd = n_uniform_dims(max_depth)
 
     def trace_batch(scene, pixel_ids, sample_ids, key):
-        def one(pid, sid):
-            k = jax.random.fold_in(jax.random.fold_in(key, sid), pid)
-            return jax.random.uniform(k, (nd,), jnp.float32)
-        u = jax.vmap(one)(pixel_ids, sample_ids)
+        u = pmesh._ray_uniforms(key, pixel_ids, sample_ids, max_depth,
+                                jnp.float32)
         i = (pixel_ids % width).astype(jnp.float32)
         j = (pixel_ids // width).astype(jnp.float32)
         o, d = camera_rays(cam, width, height, i, j, u[:, :4])
@@ -77,8 +74,9 @@ def main():
     params = {"beta_m": sc2.hair.beta_m, "beta_n": sc2.hair.beta_n,
               "sigma_a": sc2.hair.sigma_a}
     key = jax.random.key(0)
-    ray = np.arange(n_rays, dtype=np.int32)
-    pid_all, sid_all = ray // spp, ray % spp
+    perm, _inv = pmesh.tile_pixel_permutation(width, height)
+    pid_all = np.repeat(perm, spp).astype(np.int32)
+    sid_all = np.tile(np.arange(spp, dtype=np.int32), width * height)
 
     def run(fn, args_builder, n_batches):
         outs = []

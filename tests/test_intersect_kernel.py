@@ -74,3 +74,18 @@ def test_kernel_render_parity(setup):
     assert np.isfinite(img_k).all()
     assert np.quantile(diff, 0.99) < 1e-4
     assert diff.mean() < 1e-5
+
+
+def test_any_hit_matches_nearest(setup):
+    """any_hit must equal (nearest t < t_max) for the same rays."""
+    import jax.numpy as jnp
+    from yhair_tpu.ops import intersect_kernel as ik
+
+    _, sc2, cl, nearest, _ = setup
+    rng = np.random.default_rng(3)
+    o, d = _random_rays(rng, 512)
+    t_max = jnp.asarray(rng.uniform(0.5, 4.0, 512), jnp.float32)
+    occ = ik.make_occluded_fn(cl, interpret=True)(o, d, t_max)
+    t, _, hit = nearest(o, d)
+    want = np.asarray(hit) & (np.asarray(t) < np.asarray(t_max))
+    np.testing.assert_array_equal(np.asarray(occ), want)

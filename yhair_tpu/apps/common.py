@@ -79,14 +79,17 @@ def progressive_render(sc, cam, nearest, width, height, spp, max_depth,
 
     n_rays = width * height * spp_per_pass
     base = jax.random.key(seed)
+    perm, inv = pmesh.tile_pixel_permutation(width, height)
 
     def render_pass(scene, camera, sample0):
-        ray = jnp.arange(n_rays, dtype=jnp.int32)
-        pid = ray // spp_per_pass
-        sid = sample0 + ray % spp_per_pass
+        pid = jnp.asarray(np.repeat(perm, spp_per_pass).astype(np.int32))
+        sid = sample0 + jnp.asarray(
+            np.tile(np.arange(spp_per_pass, dtype=np.int32),
+                    width * height))
         L = pmesh._trace_pixels(scene, camera, width, height, pid, sid,
                                 base, max_depth, 2048, nearest, sampler)
-        return L.reshape(height, width, spp_per_pass, 3).sum(2)
+        pix = L.reshape(-1, spp_per_pass, 3).sum(1)
+        return pix[jnp.asarray(inv)].reshape(height, width, 3)
 
     jpass = jax.jit(render_pass)
     t0 = time.time()

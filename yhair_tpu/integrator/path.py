@@ -141,9 +141,18 @@ def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
                    nearest_segments=None) -> jax.Array:
     """Lean any-hit: skips shading-attribute computation (shadow rays only
     need a boolean), roughly halving shadow-ray cost vs intersect_scene."""
-    t_seg, _, hit_seg = _nearest(scene, o, d, chunk, nearest_segments)
     limit = dist * (1.0 - 1e-4)
-    occ = hit_seg & (t_seg < limit)
+    from ..ops.clusters import Clusters
+    if nearest_segments is None and isinstance(scene.accel, Clusters):
+        # dedicated any-hit kernel: per-ray t_max bound + all-occluded
+        # early exit (shadow rays are the majority of casts)
+        from ..ops import intersect_kernel as ik
+        interp = jax.devices()[0].platform == "cpu"
+        occ = ik.make_occluded_fn(scene.accel, interpret=interp)(o, d,
+                                                                 limit)
+    else:
+        t_seg, _, hit_seg = _nearest(scene, o, d, chunk, nearest_segments)
+        occ = hit_seg & (t_seg < limit)
 
     if scene.n_spheres:
         oc = o[:, None, :] - scene.sph_center[None]

@@ -1,28 +1,33 @@
-"""Pallas TPU kernel: nearest ray-segment hit over the cluster structure.
+"""Pallas TPU kernels: ray-segment intersection over the cluster structure.
 
 The hot loop of the whole renderer (reference analogue: `intersect_bvh` +
 `intersect_line`, SURVEY.md §3.1 HOT LOOP 1). Design (see ops/clusters.py
-for why the pointer-chasing version is hopeless on TPU):
+for why pointer-chasing traversal is hopeless on TPU):
 
   phase 1 (XLA, dense): slab-test every ray against every cluster AABB,
-      reduce to a per-ray-BLOCK cluster hit mask, compact into a
-      (hit-count, sorted id list) per block.
+      reduce to a per-ray-BLOCK cluster hit mask, compact into a sorted
+      (front-to-back) id list + count per block.
   phase 2 (Pallas): grid over ray blocks; the block's cluster list is
-      scalar-prefetched; a fori_loop walks the list, dynamic-slices the
-      cluster's CONTIGUOUS (128, 4) segment rows from VMEM and evaluates
-      all block_size x 128 closest-approach tests as dense linear algebra
-      (three (block,3)x(3,128) matmuls + elementwise VPU ops). No per-lane
-      gathers anywhere; the only dynamic addressing is a contiguous row
-      slice per cluster.
+      scalar-prefetched; a loop walks the list, selects the cluster's
+      precomputed (8, k) tiles by LEADING-axis dynamic index and evaluates
+      all block x k closest-approach tests as dense VPU algebra. No
+      per-lane gathers anywhere.
 
-Tie-breaking matches the brute-force reference: clusters are visited in
-ascending id order and argmin picks the first minimum, so the winning
-index equals jnp.argmin over all segments.
+Two kernels share the segment test:
+  * nearest_hit: closest hit (t, segment index, hit mask).
+  * any_hit: boolean occlusion with per-ray t_max and an all-occluded
+    early exit — shadow rays are ~2/3 of all casts and mostly terminate
+    in the first clusters of dense hair.
+
+Tie-breaking note: clusters are visited front-to-back, and within a
+cluster argmin picks the first minimum; the winning index can differ from
+a flat argmin only for exactly-equal t (tested at 99.9% agreement).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -34,15 +39,14 @@ from .clusters import Clusters
 INF = jnp.float32(1e30)
 T_MIN = 1e-4
 BLOCK = 128
+SMEM_IDS_BUDGET = 512 * 1024  # bytes of scalar-prefetch ids
 
 
 def _block_cluster_lists(o, d, cl: Clusters, block):
-    """Phase 1: per-block sorted hit-cluster ids + counts.
+    """Phase 1: per-block front-to-back hit-cluster ids + counts.
 
     o, d: (N, 3). Returns (ids (nb, C) int32, counts (nb,) int32).
     """
-    import math
-
     n = o.shape[0]
     c = cl.n_clusters
     nb = n // block
@@ -58,34 +62,77 @@ def _block_cluster_lists(o, d, cl: Clusters, block):
             t1 = (cl.cmax[None, :, ax] - oc[:, ax, None]) * invc[:, ax, None]
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        return tn <= tf  # (chunk, C)
+        return tn <= tf, tn
 
     # process rays in the largest block-aligned chunk that divides N, so
     # the (chunk, C) intermediates stay a few MB
     ray_chunk = block * math.gcd(nb, 32)
     if n <= ray_chunk:
-        hit = chunk_masks((o, inv))
+        hit, tn = chunk_masks((o, inv))
     else:
-        hit = jax.lax.map(chunk_masks,
-                          (o.reshape(-1, ray_chunk, 3),
-                           inv.reshape(-1, ray_chunk, 3))).reshape(n, c)
-    block_hit = hit.reshape(nb, block, c).any(axis=1)  # (nb, C)
+        hit, tn = jax.lax.map(chunk_masks,
+                              (o.reshape(-1, ray_chunk, 3),
+                               inv.reshape(-1, ray_chunk, 3)))
+        hit = hit.reshape(n, c)
+        tn = tn.reshape(n, c)
+    block_hit = hit.reshape(nb, block, c).any(axis=1)     # (nb, C)
+    tn_block = jnp.where(hit, tn, INF).reshape(nb, block, c).min(axis=1)
     counts = block_hit.sum(axis=1).astype(jnp.int32)
-    # hit clusters first, ascending id within each group
-    order = jnp.argsort(~block_hit, axis=1, stable=True).astype(jnp.int32)
+    # FRONT-TO-BACK: hit clusters sorted by conservative entry distance
+    # (missed ones sort to the back with +inf keys) — improves the
+    # in-kernel `s < t_best` rejection rate
+    key = jnp.where(block_hit, tn_block, INF)
+    order = jnp.argsort(key, axis=1).astype(jnp.int32)
     return order, counts
 
 
-def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, s0_ref, s1_ref,
+def _segment_test(o, d, d_dot_o, ta, tb, t_cap):
+    """Dense closest-approach test of a ray block against one cluster.
+
+    o, d: (block, 3); ta/tb: the cluster's precomputed (8, k) tiles
+    (ops/clusters.py layout); t_cap: (block, 1) current upper bound.
+    Returns (ok (block,k), s (block,k)).
+    """
+    p0 = ta[0:3, :]
+    r0 = ta[3:4, :]
+    d2 = ta[4:7, :]
+    dr = ta[7:8, :]
+    c_seg = tb[0:1, :]
+    p0_d2 = tb[1:2, :]
+
+    # K=3 contractions as explicit outer-product sums (tiny-K matmuls
+    # trigger Mosaic relayouts; the VPU form is cheap and fusion-friendly)
+    B = (d[:, 0:1] * d2[0:1, :] + d[:, 1:2] * d2[1:2, :]
+         + d[:, 2:3] * d2[2:3, :])
+    o_d2 = (o[:, 0:1] * d2[0:1, :] + o[:, 1:2] * d2[1:2, :]
+            + o[:, 2:3] * d2[2:3, :])
+    d_p0 = (d[:, 0:1] * p0[0:1, :] + d[:, 1:2] * p0[1:2, :]
+            + d[:, 2:3] * p0[2:3, :])
+
+    dd = d_dot_o - d_p0                                # d . w0
+    e = o_d2 - p0_d2                                   # d2 . w0
+    denom = jnp.maximum(c_seg - B * B, 1e-12)
+    u = jnp.clip((e - B * dd) / denom, 0.0, 1.0)
+    s = B * u - dd
+    # distance per axis, subtract-then-square: the expanded quadratic
+    # form cancels catastrophically in f32 at hair radii (~1e-3)
+    dist2 = jnp.zeros_like(u)
+    for ax in range(3):
+        off = ((o[:, ax:ax + 1] - p0[ax:ax + 1, :])
+               + s * d[:, ax:ax + 1] - u * d2[ax:ax + 1, :])
+        dist2 = dist2 + off * off
+    r = r0 + dr * u
+    ok = (dist2 <= r * r) & (s > T_MIN) & (s < t_cap)
+    return ok, s
+
+
+def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, ta_ref, tb_ref,
                 t_ref, idx_ref, *, cluster_size, block, k_cap):
     b = pl.program_id(0)
     o = o_ref[:, :]              # (block, 3)
     d = d_ref[:, :]
     k = cluster_size
-
-    # ray-constant terms
     d_dot_o = jnp.sum(d * o, axis=1, keepdims=True)       # (block, 1)
-    o_dot_o = jnp.sum(o * o, axis=1, keepdims=True)
 
     n_hit = counts_ref[b]
     # counts > k_cap are encoded as n_clusters (sentinel): the block's
@@ -96,35 +143,8 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, s0_ref, s1_ref,
         t_best, idx_best = carry                          # (block,1) each
         cid = jnp.where(use_all, i,
                         ids_ref[b, jnp.minimum(i, k_cap - 1)])
-        s0 = s0_ref[cid]                                   # (4, k)
-        s1 = s1_ref[cid]
-        p0 = s0[:3, :]                                     # (3, k)
-        p1 = s1[:3, :]
-        r0 = s0[3:4, :]                                    # (1, k)
-        r1 = s1[3:4, :]
-        d2 = p1 - p0                                       # (3, k)
-
-        # dense closest-approach algebra over (block, k)
-        B = jnp.dot(d, d2, preferred_element_type=jnp.float32)
-        o_d2 = jnp.dot(o, d2, preferred_element_type=jnp.float32)
-        d_p0 = jnp.dot(d, p0, preferred_element_type=jnp.float32)
-        c_seg = jnp.sum(d2 * d2, axis=0)[None, :]          # (1, k)
-        p0_d2 = jnp.sum(p0 * d2, axis=0)[None, :]
-
-        dd = d_dot_o - d_p0                                # d . w0
-        e = o_d2 - p0_d2                                   # d2 . w0
-        denom = jnp.maximum(c_seg - B * B, 1e-12)
-        u = jnp.clip((e - B * dd) / denom, 0.0, 1.0)
-        s = B * u - dd
-        # distance per axis, subtract-then-square: the expanded quadratic
-        # form cancels catastrophically in f32 at hair radii (~1e-3)
-        dist2 = jnp.zeros_like(u)
-        for ax in range(3):
-            off = ((o[:, ax:ax + 1] - p0[ax:ax + 1, :])
-                   + s * d[:, ax:ax + 1] - u * d2[ax:ax + 1, :])
-            dist2 = dist2 + off * off
-        r = r0 + (r1 - r0) * u                             # (block, k)
-        ok = (dist2 <= r * r) & (s > T_MIN) & (s < t_best)
+        ok, s = _segment_test(o, d, d_dot_o, ta_ref[cid], tb_ref[cid],
+                              t_best)
         s_m = jnp.where(ok, s, 1e30)
         j = jnp.argmin(s_m, axis=1)                        # (block,)
         t_loc = jnp.min(s_m, axis=1)
@@ -134,6 +154,11 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, s0_ref, s1_ref,
         idx_best = jnp.where(better[:, None], idx_new[:, None], idx_best)
         return t_best, idx_best
 
+    # NOTE: an early-termination while_loop (stop when the next front-to-
+    # back cluster starts beyond max(t_best)) measured ~2x SLOWER here: a
+    # block almost always contains at least one miss ray whose t_best
+    # stays inf, so the exit never fires and the per-iteration cond is
+    # pure overhead. Plain fori wins for closest-hit.
     init = (jnp.full((block, 1), 1e30, jnp.float32),
             jnp.zeros((block, 1), jnp.int32))
     t_best, idx_best = jax.lax.fori_loop(0, n_hit, body, init)
@@ -141,67 +166,145 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, s0_ref, s1_ref,
     idx_ref[:, :] = idx_best
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False):
-    """Closest hit for a ray batch. o, d: (N, 3), N % block == 0.
+def _any_kernel(ids_ref, counts_ref, o_ref, d_ref, tcap_ref, ta_ref,
+                tb_ref, occ_ref, *, cluster_size, block, k_cap):
+    b = pl.program_id(0)
+    o = o_ref[:, :]
+    d = d_ref[:, :]
+    t_cap = tcap_ref[:, :]                                # (block, 1)
+    d_dot_o = jnp.sum(d * o, axis=1, keepdims=True)
 
-    Returns (t, idx, hit): idx indexes the Morton-reordered segment SoA
-    (cl.s0/s1 rows), matching geometry.Segments built from them.
-    """
+    n_hit = counts_ref[b]
+    use_all = n_hit > k_cap
+
+    def body(carry):
+        i, occ = carry
+        cid = jnp.where(use_all, i,
+                        ids_ref[b, jnp.minimum(i, k_cap - 1)])
+        ok, _ = _segment_test(o, d, d_dot_o, ta_ref[cid], tb_ref[cid],
+                              t_cap)
+        occ = occ | jnp.any(ok, axis=1, keepdims=True)
+        return i + 1, occ
+
+    def cond(carry):
+        i, occ = carry
+        # shadow rays in dense hair mostly occlude in the first few
+        # front-to-back clusters: stop as soon as the whole block is dark
+        return (i < n_hit) & ~jnp.all(occ)
+
+    _, occ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.zeros((block, 1), jnp.bool_)))
+    occ_ref[:, :] = occ.astype(jnp.int32)
+
+
+def _k_cap(nb, c):
+    return max(32, min(c, SMEM_IDS_BUDGET // max(nb * 4, 1)))
+
+
+def _common_call(kernel, extra_in, extra_in_specs, out_shape, out_specs,
+                 o, d, cl, block, interpret, k_cap):
     n = o.shape[0]
-    assert n % block == 0, f"rays {n} % block {block}"
     nb = n // block
-    c = cl.n_clusters
-    ids_full, counts = _block_cluster_lists(o, d, cl, block)
-    # SMEM holds ~1MB of scalar-prefetch data; cap each block's cluster
-    # list and fall back to a full scan (sentinel count) on overflow
-    k_cap = max(32, min(c, (512 * 1024) // max(nb * 4, 1)))
-    ids = ids_full[:, :k_cap]
-    counts = jnp.where(counts > k_cap, c, counts).astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((block, 3), lambda b, ids, cnt: (b, 0),
+            pl.BlockSpec((block, 3), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 3), lambda b, ids, cnt: (b, 0),
+            pl.BlockSpec((block, 3), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # s0 (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # s1 (full)
+            *extra_in_specs,
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ta tiles (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tb tiles (full)
         ],
-        out_specs=[
-            pl.BlockSpec((block, 1), lambda b, ids, cnt: (b, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, 1), lambda b, ids, cnt: (b, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        out_specs=out_specs,
     )
+    ids, counts = _block_cluster_lists(o, d, cl, block)
+    ids = ids[:, :k_cap]
+    counts = jnp.where(counts > k_cap, cl.n_clusters,
+                       counts).astype(jnp.int32)
+    return pl.pallas_call(
+        kernel, grid_spec=grid_spec, out_shape=out_shape,
+        interpret=interpret,
+    )(ids, counts, o, d, *extra_in, cl.ta, cl.tb)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False):
+    """Closest hit for a ray batch. o, d: (N, 3), N % block == 0.
+
+    Returns (t, idx, hit): idx indexes the cluster-reordered segment SoA
+    (cl.s0/s1 rows), matching geometry.Segments built from them.
+    """
+    n = o.shape[0]
+    assert n % block == 0, f"rays {n} % block {block}"
+    k_cap = _k_cap(n // block, cl.n_clusters)
     kernel = functools.partial(_hit_kernel, cluster_size=cl.cluster_size,
                                block=block, k_cap=k_cap)
-    t, idx = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((n, 1), jnp.int32)],
-        interpret=interpret,
-    )(ids, counts, o, d, cl.s0c, cl.s1c)
+    t, idx = _common_call(
+        kernel, (), (),
+        [jax.ShapeDtypeStruct((n, 1), jnp.float32),
+         jax.ShapeDtypeStruct((n, 1), jnp.int32)],
+        [pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
+                      memory_space=pltpu.VMEM),
+         pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
+                      memory_space=pltpu.VMEM)],
+        o, d, cl, block, interpret, k_cap)
     t = t[:, 0]
     idx = idx[:, 0]
     hit = t < INF
     return jnp.where(hit, t, INF), idx, hit
 
 
+@functools.partial(jax.jit, static_argnames=("block", "interpret"))
+def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False):
+    """Occlusion query: True where some segment lies in (T_MIN, t_max).
+
+    o, d: (N, 3); t_max: (N,). All-occluded blocks exit early.
+    """
+    n = o.shape[0]
+    assert n % block == 0, f"rays {n} % block {block}"
+    k_cap = _k_cap(n // block, cl.n_clusters)
+    kernel = functools.partial(_any_kernel, cluster_size=cl.cluster_size,
+                               block=block, k_cap=k_cap)
+    (occ,) = _common_call(
+        kernel, (t_max.reshape(n, 1),),
+        (pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
+                      memory_space=pltpu.VMEM),),
+        [jax.ShapeDtypeStruct((n, 1), jnp.int32)],
+        [pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
+                      memory_space=pltpu.VMEM)],
+        o, d, cl, block, interpret, k_cap)
+    return occ[:, 0] > 0
+
+
+def _pad_rays(o, d, block, extra=None):
+    n = o.shape[0]
+    pad = (-n) % block
+    if pad:
+        o = jnp.concatenate([o, jnp.full((pad, 3), 1e8, o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        if extra is not None:
+            extra = jnp.concatenate([extra, jnp.zeros((pad,), extra.dtype)])
+    return o, d, extra, n
+
+
 def make_nearest_fn(cl: Clusters, block=BLOCK, interpret=False):
     """Adapter for integrator.intersect_scene's nearest_segments hook.
     Pads the ray batch up to a block multiple when needed."""
     def fn(o, d):
-        n = o.shape[0]
-        pad = (-n) % block
-        if pad:
-            o = jnp.concatenate([o, jnp.full((pad, 3), 1e8, o.dtype)])
-            d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        o, d, _, n = _pad_rays(o, d, block)
         t, idx, hit = nearest_hit(o, d, cl, block=block,
                                   interpret=interpret)
         return t[:n], idx[:n], hit[:n]
+    return fn
+
+
+def make_occluded_fn(cl: Clusters, block=BLOCK, interpret=False):
+    """Occlusion adapter: fn(o, d, t_max) -> bool (N,)."""
+    def fn(o, d, t_max):
+        o, d, t_max, n = _pad_rays(o, d, block, t_max)
+        return any_hit(o, d, t_max, cl, block=block,
+                       interpret=interpret)[:n]
     return fn
