@@ -21,6 +21,13 @@ import time
 import numpy as np
 
 
+def _log(msg, _t0=[None]):
+    if _t0[0] is None:
+        _t0[0] = time.time()
+    print(f"# [{time.time() - _t0[0]:6.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -89,10 +96,13 @@ def main():
     n_batches = n_rays // batch
 
     # warm up / compile
+    _log("compiling forward")
     run(jit_fwd, lambda s: (sc2, jnp.asarray(pid_all[s]),
                             jnp.asarray(sid_all[s]), key), 1)
+    _log("compiling forward+backward")
     run(jit_fwdbwd, lambda s: (params, jnp.asarray(pid_all[s]),
                                jnp.asarray(sid_all[s]), key), 1)
+    _log("timing")
 
     t0 = time.time()
     run(jit_fwdbwd, lambda s: (params, jnp.asarray(pid_all[s]),
@@ -102,6 +112,7 @@ def main():
     total_rays = n_rays * rays_per_camera_ray
     mrays = total_rays / t_fwdbwd / 1e6
 
+    _log(f"fwd+bwd timed: {t_fwdbwd:.2f}s; running oracle baseline")
     # --- oracle baseline (numpy float64) on a small slice of the same scene
     from oracle.pathtrace import render as oracle_render, n_uniform_dims as ond
     sub = 24

@@ -177,24 +177,28 @@ def _any_kernel(ids_ref, counts_ref, o_ref, d_ref, tcap_ref, ta_ref,
     n_hit = counts_ref[b]
     use_all = n_hit > k_cap
 
+    # the carry holds occ as int32, not bool: Mosaic cannot legalize
+    # vector<i1> loop carries (scf.yield legalization failure on v5e)
     def body(carry):
         i, occ = carry
         cid = jnp.where(use_all, i,
                         ids_ref[b, jnp.minimum(i, k_cap - 1)])
         ok, _ = _segment_test(o, d, d_dot_o, ta_ref[cid], tb_ref[cid],
                               t_cap)
-        occ = occ | jnp.any(ok, axis=1, keepdims=True)
+        occ = jnp.maximum(occ,
+                          jnp.any(ok, axis=1, keepdims=True)
+                          .astype(jnp.int32))
         return i + 1, occ
 
     def cond(carry):
         i, occ = carry
         # shadow rays in dense hair mostly occlude in the first few
         # front-to-back clusters: stop as soon as the whole block is dark
-        return (i < n_hit) & ~jnp.all(occ)
+        return (i < n_hit) & (jnp.min(occ) < 1)
 
     _, occ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros((block, 1), jnp.bool_)))
-    occ_ref[:, :] = occ.astype(jnp.int32)
+        cond, body, (jnp.int32(0), jnp.zeros((block, 1), jnp.int32)))
+    occ_ref[:, :] = occ
 
 
 def _k_cap(nb, c):
