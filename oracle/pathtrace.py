@@ -2,15 +2,18 @@
 
 Mirrors the reference's `trace_path` loop (SURVEY.md §3.1
 [U:libs/yocto/yocto_trace.cpp]): intersect -> emission/env -> direct
-lighting -> BSDF sample -> Russian roulette — restricted to the scene
-features the correctness ladder needs (hair segments, diffuse
-spheres/planes, point lights, constant environment).
+lighting -> BSDF sample -> Russian roulette — over hair segments plus
+spheres/planes carrying full surface materials (oracle/surface_bsdf.py:
+matte/glossy/metal/thin-transmission incl. delta lobes, emission), point
+lights, env map / constant environment.
 
 Determinism contract: all randomness comes from the caller-provided
 `uniforms` tensor of shape (n_rays, 4 + max_depth * 8):
   [0:2]                          subpixel jitter
   [2:4]                          thin-lens disk sample
   [4 + 8*d : 4 + 8*d + 4]        BSDF sample at bounce d
+                                 (surfaces use dims 0,1 + dim 2 as the
+                                 lobe choice; hair uses all four)
   [4 + 8*d + 4]                  Russian roulette at bounce d
   [4 + 8*d + 5]                  light selection (reserved)
   [4 + 8*d + 6 : 4 + 8*d + 8]    environment-map NEE sample at bounce d
@@ -23,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 
 from . import geometry as geo
+from . import surface_bsdf as osb
 from .hair_bsdf import HairBSDF
 
 RR_START = 3
@@ -43,17 +47,39 @@ def _to_world(w, fx, fy, fz):
     return (w[..., 0:1] * fx + w[..., 1:2] * fy + w[..., 2:3] * fz)
 
 
+def scene_surface_materials(scene):
+    """Per-prim surface materials: one entry per sphere then per plane
+    (legacy 'albedo' entries lower to matte). Always >= 1 entry."""
+    mats = [osb.material_from_legacy(p)
+            for p in list(scene.get("spheres", []))
+            + list(scene.get("planes", []))]
+    return mats or [osb.make_material()]
+
+
+def _gather_materials(mats, idx):
+    """Stack a material list into per-ray param arrays by index."""
+    idx = np.clip(idx, 0, len(mats) - 1)
+    out = {}
+    for k in ("emission", "color"):
+        out[k] = np.stack([m[k] for m in mats])[idx]
+    for k in ("roughness", "metallic", "ior", "transmission", "specular"):
+        out[k] = np.asarray([m[k] for m in mats])[idx]
+    return out
+
+
 def _intersect_scene(scene, o, d):
     """Closest hit over all scene geometry. Returns per-ray dict with
-    mat: -1 = miss, 0 = hair, 1 = diffuse."""
+    mat: -1 = miss, 0 = hair, 1 = surface; mat_id indexes
+    scene_surface_materials(scene) for surface hits."""
     n = o.shape[0]
     best = {
         "hit": np.zeros(n, bool), "t": np.full(n, geo.INF),
         "mat": np.full(n, -1, np.int64),
+        "mat_id": np.zeros(n, np.int64),
         "position": np.zeros((n, 3)), "normal": np.zeros((n, 3)),
         "tangent": np.zeros((n, 3)), "frame_y": np.zeros((n, 3)),
         "frame_z": np.zeros((n, 3)), "h": np.zeros(n),
-        "radius": np.zeros(n), "albedo": np.zeros((n, 3)),
+        "radius": np.zeros(n),
     }
     if scene.get("segments") is not None:
         p0, p1, r0, r1 = scene["segments"]
@@ -67,6 +93,7 @@ def _intersect_scene(scene, o, d):
         best["h"] = np.where(closer, hs["h"], best["h"])
         seg_r = (hs["u"] * (r1 - r0)[hs["seg"]] + r0[hs["seg"]])
         best["radius"] = np.where(closer, seg_r, best["radius"])
+    mat_id = 0
     for sph in scene.get("spheres", []):
         hs = geo.intersect_sphere(o, d, np.asarray(sph["center"], np.float64),
                                   sph["radius"])
@@ -74,11 +101,10 @@ def _intersect_scene(scene, o, d):
         best["hit"] |= closer
         best["t"] = np.where(closer, hs["t"], best["t"])
         best["mat"] = np.where(closer, 1, best["mat"])
+        best["mat_id"] = np.where(closer, mat_id, best["mat_id"])
         for k in ("position", "normal"):
             best[k] = np.where(closer[:, None], hs[k], best[k])
-        best["albedo"] = np.where(closer[:, None],
-                                  np.asarray(sph["albedo"], np.float64),
-                                  best["albedo"])
+        mat_id += 1
     for pl in scene.get("planes", []):
         hs = geo.intersect_plane(o, d, np.asarray(pl["point"], np.float64),
                                  np.asarray(pl["normal"], np.float64),
@@ -87,11 +113,10 @@ def _intersect_scene(scene, o, d):
         best["hit"] |= closer
         best["t"] = np.where(closer, hs["t"], best["t"])
         best["mat"] = np.where(closer, 1, best["mat"])
+        best["mat_id"] = np.where(closer, mat_id, best["mat_id"])
         for k in ("position", "normal"):
             best[k] = np.where(closer[:, None], hs[k], best[k])
-        best["albedo"] = np.where(closer[:, None],
-                                  np.asarray(pl["albedo"], np.float64),
-                                  best["albedo"])
+        mat_id += 1
     return best
 
 
@@ -131,8 +156,12 @@ def trace(scene, o, d, uniforms, max_depth=4):
     if env_map is not None and not hasattr(env_map, "sample"):
         from .envmap import EnvMap
         env_map = EnvMap(env_map)
+    mats = scene_surface_materials(scene)
     # pdf of the previous bounce's BSDF sample (solid angle) for MIS
     prev_pdf = np.zeros(n)
+    # previous bounce sampled a delta lobe: BSDF sampling is the only
+    # strategy that can hit anything through it -> env MIS weight 1
+    prev_delta = np.zeros(n, bool)
 
     for depth in range(max_depth):
         hs = _intersect_scene(scene, o, d)
@@ -148,6 +177,7 @@ def trace(scene, o, d, uniforms, max_depth=4):
                 pe = env_map.pdf(d)
                 w = prev_pdf ** 2 / np.maximum(prev_pdf ** 2 + pe ** 2,
                                                1e-30)
+                w = np.where(prev_delta, 1.0, w)
             L[miss] += beta[miss] * le[miss] * w[miss, None]
         alive = alive & hs["hit"]
         if not alive.any():
@@ -155,12 +185,19 @@ def trace(scene, o, d, uniforms, max_depth=4):
 
         is_hair = hs["mat"] == 0
         pos = hs["position"]
-        # shading frames
+        sp = _gather_materials(mats, hs["mat_id"])
+
+        # emission of surface hits (area lights seen by BSDF rays)
+        L += np.where((alive & ~is_hair)[:, None], beta * sp["emission"],
+                      0.0)
+
+        # shading frames; surface normals flipped to face the ray so the
+        # surface BSDF always sees wo.z > 0 (double-sided shading)
         fx = np.where(is_hair[:, None], hs["tangent"], 0.0)
         fy = np.where(is_hair[:, None], hs["frame_y"], 0.0)
-        fz = np.where(is_hair[:, None], hs["frame_z"], hs["normal"])
-        # diffuse frame: build any tangent basis around the normal
         nrm = hs["normal"]
+        nrm = nrm * np.where((np.sum(nrm * d, -1) > 0)[:, None], -1.0, 1.0)
+        fz = np.where(is_hair[:, None], hs["frame_z"], nrm)
         a = np.where(np.abs(nrm[:, 0:1]) > 0.9, np.array([[0.0, 1.0, 0.0]]),
                      np.array([[1.0, 0.0, 0.0]]))
         t1 = geo.normalize(np.cross(nrm, a))
@@ -191,8 +228,8 @@ def trace(scene, o, d, uniforms, max_depth=4):
             vis = ~_occluded(scene, sh_o, wi_w, dist - ray_eps)
             wi = _to_local(wi_w, fx, fy, fz)
             f_hair = bsdf_eval.f(wo, wi) * np.abs(wi[:, 2:3])
-            f_diff = hs["albedo"] / np.pi * np.maximum(wi[:, 2:3], 0.0)
-            f = np.where(is_hair[:, None], f_hair, f_diff)
+            f_surf = osb.surface_f(sp, wo, wi) * np.abs(wi[:, 2:3])
+            f = np.where(is_hair[:, None], f_hair, f_surf)
             contrib = beta * f * li / np.maximum(dist[:, None] ** 2, 1e-12)
             L += np.where((alive & vis)[:, None], contrib, 0.0)
 
@@ -206,10 +243,10 @@ def trace(scene, o, d, uniforms, max_depth=4):
             vis = ~_occluded_far(scene, sh_o, wi_w)
             wi = _to_local(wi_w, fx, fy, fz)
             f_hair = bsdf_eval.f(wo, wi) * np.abs(wi[:, 2:3])
-            f_diff = hs["albedo"] / np.pi * np.maximum(wi[:, 2:3], 0.0)
-            f = np.where(is_hair[:, None], f_hair, f_diff)
+            f_surf = osb.surface_f(sp, wo, wi) * np.abs(wi[:, 2:3])
+            f = np.where(is_hair[:, None], f_hair, f_surf)
             pdf_b = np.where(is_hair, bsdf.pdf(wo, wi),
-                             np.maximum(wi[:, 2], 0.0) / np.pi)
+                             osb.surface_pdf(sp, wo, wi))
             w_mis = pdf_e ** 2 / np.maximum(pdf_e ** 2 + pdf_b ** 2, 1e-30)
             contrib = beta * f * le * (w_mis / np.maximum(pdf_e, 1e-12))[:, None]
             L += np.where((alive & vis)[:, None], contrib, 0.0)
@@ -224,19 +261,16 @@ def trace(scene, o, d, uniforms, max_depth=4):
         w_hair = np.where((pdf_h > 1e-12)[:, None], w_hair, 0.0)
         w_hair_base = f_h * np.abs(wi_h[:, 2:3]) / denom_pdf
         w_hair_base = np.where((pdf_h > 1e-12)[:, None], w_hair_base, 0.0)
-        # diffuse: cosine hemisphere
-        r = np.sqrt(ub[:, 0])
-        phi = 2.0 * np.pi * ub[:, 1]
-        wi_d = np.stack([r * np.cos(phi), r * np.sin(phi),
-                         np.sqrt(np.maximum(0.0, 1.0 - ub[:, 0]))], axis=-1)
-        w_diff = hs["albedo"]  # f * cos / pdf = albedo for cosine sampling
-        wi = np.where(is_hair[:, None], wi_h, wi_d)
-        weight = np.where(is_hair[:, None], w_hair, w_diff)
-        weight_base = np.where(is_hair[:, None], w_hair_base, w_diff)
+        # surface lobe-mixture sampling (u0, u1, u_lobe)
+        wi_s, w_surf, pdf_s, delta_s = osb.sample_surface(
+            sp, wo, ub[:, :3])
+        wi = np.where(is_hair[:, None], wi_h, wi_s)
+        weight = np.where(is_hair[:, None], w_hair, w_surf)
+        weight_base = np.where(is_hair[:, None], w_hair_base, w_surf)
 
         # solid-angle pdf of the chosen continuation (for env MIS)
-        pdf_diff = np.maximum(wi_d[:, 2], 0.0) / np.pi
-        prev_pdf = np.where(is_hair, pdf_h, pdf_diff)
+        prev_pdf = np.where(is_hair, pdf_h, pdf_s)
+        prev_delta = ~is_hair & delta_s
 
         beta = beta * weight
         beta_base = beta_base * weight_base

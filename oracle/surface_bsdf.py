@@ -32,8 +32,11 @@ DELTA_ROUGHNESS = 1e-3  # roughness below this => delta lobes
 
 
 def make_material(emission=(0.0, 0.0, 0.0), color=(0.0, 0.0, 0.0),
-                  roughness=1.0, metallic=0.0, ior=1.5, transmission=0.0):
-    """Normalized material dict (the oracle scene format)."""
+                  roughness=1.0, metallic=0.0, ior=1.5, transmission=0.0,
+                  specular=1.0):
+    """Normalized material dict (the oracle scene format). `specular`
+    scales the dielectric reflection lobe (yocto-style knob: matte
+    surfaces have specular = 0)."""
     return {
         "emission": np.asarray(emission, np.float64),
         "color": np.asarray(color, np.float64),
@@ -41,30 +44,38 @@ def make_material(emission=(0.0, 0.0, 0.0), color=(0.0, 0.0, 0.0),
         "metallic": float(metallic),
         "ior": float(ior),
         "transmission": float(transmission),
+        "specular": float(specular),
     }
 
 
 def material_from_legacy(prim: dict):
-    """Back-compat: {'albedo': c} => matte material."""
+    """Back-compat: {'albedo': c} => matte (spec-free) material."""
     if "material" in prim:
         return make_material(**prim["material"])
-    return make_material(color=prim.get("albedo", (0.0, 0.0, 0.0)))
+    return make_material(color=prim.get("albedo", (0.0, 0.0, 0.0)),
+                         specular=0.0)
 
 
 def _lum(c):
     return c @ LUM
 
 
-def _schlick(f0, cos_t):
-    """f0: (..., 3), cos_t: (...)."""
-    m = np.clip(1.0 - np.abs(cos_t), 0.0, 1.0)
-    return f0 + (1.0 - f0) * (m ** 5)[..., None]
-
-
-def _f0(color, metallic, ior):
-    f0d = ((ior - 1.0) / (ior + 1.0)) ** 2
+def _f0(color, metallic, ior, specular):
+    f0d = specular * ((ior - 1.0) / (ior + 1.0)) ** 2
     return f0d[..., None] * (1.0 - metallic[..., None]) \
         + color * metallic[..., None]
+
+
+def _fresnel(p, cos_t):
+    """Mixed Schlick fresnel: metal part uses color F0; the dielectric
+    part is scaled by `specular` INCLUDING its grazing term (specular=0
+    kills the lobe entirely, unlike Schlick with F0=0)."""
+    m = np.clip(1.0 - np.abs(cos_t), 0.0, 1.0) ** 5
+    f_metal = p["color"] + (1.0 - p["color"]) * m[..., None]
+    f0d = ((p["ior"] - 1.0) / (p["ior"] + 1.0)) ** 2
+    f_diel = (p["specular"] * (f0d + (1.0 - f0d) * m))[..., None]
+    return p["metallic"][..., None] * f_metal \
+        + (1.0 - p["metallic"][..., None]) * f_diel
 
 
 def _ggx_d(cos_h, alpha):
@@ -122,7 +133,9 @@ def _broadcast_params(mat, n):
     for k in ("emission", "color"):
         v = np.asarray(mat[k], np.float64)
         out[k] = np.broadcast_to(v, (n, 3)).astype(np.float64)
-    for k in ("roughness", "metallic", "ior", "transmission"):
+    mat = dict(mat)
+    mat.setdefault("specular", 1.0)
+    for k in ("roughness", "metallic", "ior", "transmission", "specular"):
         v = np.asarray(mat[k], np.float64)
         out[k] = np.broadcast_to(v, (n,)).astype(np.float64)
     return out
@@ -130,8 +143,7 @@ def _broadcast_params(mat, n):
 
 def _lobe_weights(p, cos_o):
     """Sampling weights (p_diff, p_spec, p_trans), normalized."""
-    f0 = _f0(p["color"], p["metallic"], p["ior"])
-    fo = _lum(_schlick(f0, cos_o))
+    fo = _lum(_fresnel(p, cos_o))
     w_spec = fo
     base = (1.0 - fo) * (1.0 - p["metallic"])
     w_diff = base * (1.0 - p["transmission"])
@@ -153,7 +165,7 @@ def surface_f(mat, wo, wi):
     alpha = np.maximum(p["roughness"] ** 2, MIN_ALPHA)
     cos_o = np.maximum(wo[:, 2], 1e-6)
     cos_i = wi[:, 2]
-    f0 = _f0(p["color"], p["metallic"], p["ior"])
+    f0 = _f0(p["color"], p["metallic"], p["ior"], p["specular"])
 
     # reflection half-vector terms
     wi_r = np.where((cos_i < 0)[:, None],
@@ -161,7 +173,7 @@ def surface_f(mat, wo, wi):
     hv = wo + wi_r
     hv = hv / np.maximum(np.linalg.norm(hv, axis=-1, keepdims=True), 1e-12)
     ch = np.sum(wo * hv, -1)
-    fh = _schlick(f0, ch)
+    fh = _fresnel(p, ch)
     d_term = _ggx_d(hv[:, 2], alpha)
     g_term = _ggx_g(cos_o, np.abs(cos_i), alpha)
     spec = fh * (d_term * g_term
@@ -224,7 +236,6 @@ def sample_surface(mat, wo, u):
     delta = p["roughness"] < DELTA_ROUGHNESS
     alpha = np.maximum(p["roughness"] ** 2, MIN_ALPHA)
     cos_o = np.maximum(wo[:, 2], 1e-6)
-    f0 = _f0(p["color"], p["metallic"], p["ior"])
     w_diff, w_spec, w_trans = _lobe_weights(p, cos_o)
 
     u0, u1, ul = u[:, 0], u[:, 1], u[:, 2]
@@ -259,7 +270,7 @@ def sample_surface(mat, wo, u):
     weight = np.where((pdf > 1e-12)[:, None], weight, 0.0)
 
     # delta lobe weights override (f/pdf of a delta pair is analytic)
-    fh = _schlick(f0, cos_o)
+    fh = _fresnel(p, cos_o)
     w_delta_spec = fh / np.maximum(w_spec[:, None], 1e-12)
     kt = ((1.0 - p["metallic"]) * p["transmission"])[:, None]
     w_delta_trans = p["color"] * kt * (1.0 - _lum(fh))[:, None] \

@@ -34,6 +34,7 @@ class SurfaceMaterial(NamedTuple):
     metallic: jax.Array      # (M,)
     ior: jax.Array           # (M,)
     transmission: jax.Array  # (M,)
+    specular: jax.Array      # (M,) dielectric-lobe scale (matte = 0)
 
     @classmethod
     def make(cls, mats: list, dtype=jnp.float32) -> "SurfaceMaterial":
@@ -41,7 +42,7 @@ class SurfaceMaterial(NamedTuple):
         if not mats:
             mats = [{"emission": (0, 0, 0), "color": (0, 0, 0),
                      "roughness": 1.0, "metallic": 0.0, "ior": 1.5,
-                     "transmission": 0.0}]
+                     "transmission": 0.0, "specular": 1.0}]
 
         def col(key, default, width=None):
             rows = [np.asarray(m.get(key, default), np.float64)
@@ -57,6 +58,7 @@ class SurfaceMaterial(NamedTuple):
             metallic=col("metallic", 0.0),
             ior=col("ior", 1.5),
             transmission=col("transmission", 0.0),
+            specular=col("specular", 1.0),
         )
 
     def gather(self, idx) -> "SurfaceMaterial":
@@ -69,15 +71,21 @@ def _lum(c):
     return c @ jnp.asarray(LUM, c.dtype)
 
 
-def _schlick(f0, cos_t):
-    m = jnp.clip(1.0 - jnp.abs(cos_t), 0.0, 1.0)
-    return f0 + (1.0 - f0) * (m ** 5)[..., None]
-
-
 def _f0(p: SurfaceMaterial):
-    f0d = ((p.ior - 1.0) / (p.ior + 1.0)) ** 2
+    f0d = p.specular * ((p.ior - 1.0) / (p.ior + 1.0)) ** 2
     return f0d[..., None] * (1.0 - p.metallic[..., None]) \
         + p.color * p.metallic[..., None]
+
+
+def _fresnel(p: SurfaceMaterial, cos_t):
+    """Mixed Schlick fresnel — mirror of oracle _fresnel: the dielectric
+    lobe (incl. its grazing term) is scaled by `specular`."""
+    m = jnp.clip(1.0 - jnp.abs(cos_t), 0.0, 1.0) ** 5
+    f_metal = p.color + (1.0 - p.color) * m[..., None]
+    f0d = ((p.ior - 1.0) / (p.ior + 1.0)) ** 2
+    f_diel = (p.specular * (f0d + (1.0 - f0d) * m))[..., None]
+    return p.metallic[..., None] * f_metal \
+        + (1.0 - p.metallic[..., None]) * f_diel
 
 
 def _ggx_d(cos_h, alpha):
@@ -132,7 +140,7 @@ def _ggx_pdf_wi(wo, hv, alpha):
 
 
 def _lobe_weights(p: SurfaceMaterial, cos_o):
-    fo = _lum(_schlick(_f0(p), cos_o))
+    fo = _lum(_fresnel(p, cos_o))
     w_spec = fo
     base = (1.0 - fo) * (1.0 - p.metallic)
     w_diff = base * (1.0 - p.transmission)
@@ -162,7 +170,7 @@ def surface_f(p: SurfaceMaterial, wo, wi):
     hv = hv / jnp.maximum(jnp.linalg.norm(hv, axis=-1, keepdims=True),
                           1e-12)
     ch = jnp.sum(wo * hv, -1)
-    fh = _schlick(f0, ch)
+    fh = _fresnel(p, ch)
     d_term = _ggx_d(hv[:, 2], alpha)
     g_term = _ggx_g(cos_o, jnp.abs(cos_i), alpha)
     micro = (d_term * g_term
@@ -214,7 +222,6 @@ def surface_sample(p: SurfaceMaterial, wo, u):
     delta = p.roughness < DELTA_ROUGHNESS
     alpha = jnp.maximum(p.roughness ** 2, MIN_ALPHA)
     cos_o = jnp.maximum(wo[:, 2], 1e-6)
-    f0 = _f0(p)
     w_diff, w_spec, w_trans = _lobe_weights(p, cos_o)
 
     u0, u1, ul = u[:, 0], u[:, 1], u[:, 2]
@@ -243,7 +250,7 @@ def surface_sample(p: SurfaceMaterial, wo, u):
     weight = f * jnp.abs(wi[:, 2:3]) / jnp.maximum(pdf[:, None], 1e-12)
     weight = jnp.where((pdf > 1e-12)[:, None], weight, 0.0)
 
-    fh = _schlick(f0, cos_o)
+    fh = _fresnel(p, cos_o)
     w_delta_spec = fh / jnp.maximum(w_spec[:, None], 1e-12)
     kt = ((1.0 - p.metallic) * p.transmission)[:, None]
     w_delta_trans = p.color * kt * (1.0 - _lum(fh))[:, None] \

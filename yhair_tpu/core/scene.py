@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bsdf.hair import HairMaterial
+from ..bsdf.surface import SurfaceMaterial
 from ..geometry.segments import Segments
 from .camera import Camera
 
@@ -26,12 +27,12 @@ from .camera import Camera
 class Scene(NamedTuple):
     segments: Segments
     hair: HairMaterial
+    surf_mat: SurfaceMaterial  # (M, ...) material table; sphere i ->
+                               # entry i, plane j -> entry NS + j
     sph_center: jax.Array    # (NS, 3)
     sph_radius: jax.Array    # (NS,)
-    sph_albedo: jax.Array    # (NS, 3)
     pln_point: jax.Array     # (NP, 3)
     pln_normal: jax.Array    # (NP, 3)
-    pln_albedo: jax.Array    # (NP, 3)
     light_pos: jax.Array     # (L, 3)
     light_intensity: jax.Array  # (L, 3)
     env: jax.Array           # (3,) constant environment term
@@ -77,15 +78,17 @@ def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
             return jnp.zeros(shape, dtype)
         return jnp.asarray(np.asarray(vals, np.float64), dtype)
 
+    from oracle.pathtrace import scene_surface_materials
+
     return Scene(
         segments=segs,
         hair=hair,
+        surf_mat=SurfaceMaterial.make(scene_surface_materials(scene),
+                                      dtype=dtype),
         sph_center=arr([s["center"] for s in spheres], (0, 3)),
         sph_radius=arr([s["radius"] for s in spheres], (0,)),
-        sph_albedo=arr([s["albedo"] for s in spheres], (0, 3)),
         pln_point=arr([p["point"] for p in planes], (0, 3)),
         pln_normal=arr([p["normal"] for p in planes], (0, 3)),
-        pln_albedo=arr([p["albedo"] for p in planes], (0, 3)),
         light_pos=arr([l["position"] for l in lights], (0, 3)),
         light_intensity=arr([l["intensity"] for l in lights], (0, 3)),
         env=jnp.asarray(np.asarray(scene.get("environment", [0.0, 0.0, 0.0]),

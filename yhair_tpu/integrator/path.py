@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..bsdf import hair as jh
+from ..bsdf import surface as js
 from ..core.camera import Camera, camera_rays
 from ..core.envmap import env_eval, env_pdf, env_sample, has_env
 from ..core.rng import D_BOUNCE, D_PIXEL, n_uniform_dims
@@ -37,15 +38,15 @@ RR_START = 3
 class Hit(NamedTuple):
     hit: jax.Array        # (N,) bool
     t: jax.Array          # (N,)
-    mat: jax.Array        # (N,) int32: -1 miss, 0 hair, 1 diffuse
+    mat: jax.Array        # (N,) int32: -1 miss, 0 hair, 1 surface
+    mat_id: jax.Array     # (N,) int32 into scene.surf_mat (surface hits)
     position: jax.Array   # (N, 3)
-    normal: jax.Array     # (N, 3) diffuse-surface normal
+    normal: jax.Array     # (N, 3) surface normal
     tangent: jax.Array    # (N, 3) hair frame x
     frame_y: jax.Array    # (N, 3)
     frame_z: jax.Array    # (N, 3)
     h: jax.Array          # (N,)
     radius: jax.Array     # (N,)
-    albedo: jax.Array     # (N, 3)
 
 
 def _nearest(scene: Scene, o, d, chunk, nearest_segments):
@@ -83,8 +84,8 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
 
     best_t = jnp.where(hit_seg, t_seg, INF)
     mat = jnp.where(hit_seg, 0, -1).astype(jnp.int32)
+    mat_id = jnp.zeros((n,), jnp.int32)
     normal = jnp.zeros((n, 3), o.dtype)
-    albedo = jnp.zeros((n, 3), o.dtype)
 
     if scene.n_spheres:
         oc = o[:, None, :] - scene.sph_center[None]
@@ -100,12 +101,12 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
         closer = t_s < best_t
         best_t = jnp.where(closer, t_s, best_t)
         mat = jnp.where(closer, 1, mat)
+        mat_id = jnp.where(closer, i_s.astype(jnp.int32), mat_id)
         pos_s = o + t_s[:, None] * d
         n_s = pos_s - scene.sph_center[i_s]
         n_s = n_s / jnp.maximum(
             jnp.linalg.norm(n_s, axis=-1, keepdims=True), 1e-12)
         normal = jnp.where(closer[:, None], n_s, normal)
-        albedo = jnp.where(closer[:, None], scene.sph_albedo[i_s], albedo)
 
     if scene.n_planes:
         denom = jnp.sum(d[:, None, :] * scene.pln_normal[None], -1)
@@ -118,11 +119,10 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
         closer = t_p < best_t
         best_t = jnp.where(closer, t_p, best_t)
         mat = jnp.where(closer, 1, mat)
+        mat_id = jnp.where(closer,
+                           scene.n_spheres + i_p.astype(jnp.int32), mat_id)
         pn = scene.pln_normal[i_p]
-        d_dot = jnp.take_along_axis(denom, i_p[:, None], -1)[:, 0]
-        pn = pn * jnp.where(d_dot[:, None] < 0, 1.0, -1.0)
         normal = jnp.where(closer[:, None], pn, normal)
-        albedo = jnp.where(closer[:, None], scene.pln_albedo[i_p], albedo)
 
     hit = best_t < INF
     is_hair = hit & (mat == 0)
@@ -131,10 +131,10 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
     pos = o + jnp.where(hit, best_t, 0.0)[:, None] * d
     position = jnp.where(is_hair[:, None], sh.position, pos)
     return Hit(hit=hit, t=jnp.where(hit, best_t, INF), mat=mat,
-               position=position, normal=normal,
+               mat_id=mat_id, position=position, normal=normal,
                tangent=sh.tangent, frame_y=sh.frame_y, frame_z=sh.frame_z,
                h=jnp.where(is_hair, sh.h, 0.0),
-               radius=jnp.where(is_hair, sh.radius, 0.0), albedo=albedo)
+               radius=jnp.where(is_hair, sh.radius, 0.0))
 
 
 def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
@@ -201,14 +201,18 @@ def trace_eyelight(scene: Scene, o, d, uniforms, chunk=2048,
     hs = intersect_scene(scene, o, d, chunk=chunk,
                          nearest_segments=nearest_segments)
     is_hair = hs.mat == 0
-    t1, t2 = _diffuse_frame(hs.normal)
+    sp = scene.surf_mat.gather(hs.mat_id)
+    nrm = hs.normal * jnp.where(
+        (jnp.sum(hs.normal * d, -1) > 0)[:, None], -1.0, 1.0)
+    t1, t2 = _diffuse_frame(nrm)
     fx = jnp.where(is_hair[:, None], hs.tangent, t1)
     fy = jnp.where(is_hair[:, None], hs.frame_y, t2)
-    fz = jnp.where(is_hair[:, None], hs.frame_z, hs.normal)
+    fz = jnp.where(is_hair[:, None], hs.frame_z, nrm)
     wo = _to_local(-d, fx, fy, fz)
     f_hair = jh.hair_f(scene.hair, hs.h, wo, wo) * jnp.abs(wo[:, 2:3])
-    f_diff = hs.albedo / jnp.pi * jnp.abs(wo[:, 2:3])
-    f = jnp.where(is_hair[:, None], f_hair, f_diff) * jnp.pi
+    f_surf = (js.surface_f(sp, wo, wo) * jnp.abs(wo[:, 2:3])
+              + sp.emission)
+    f = jnp.where(is_hair[:, None], f_hair, f_surf) * jnp.pi
     return jnp.where(hs.hit[:, None], f, jnp.broadcast_to(scene.env,
                                                           f.shape))
 
@@ -239,7 +243,7 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
     use_env = has_env(scene)
 
     def bounce(carry, xs):
-        o, d, L, beta, alive, prev_pdf = carry
+        o, d, L, beta, alive, prev_pdf, prev_delta = carry
         ub, depth = xs
         hs = intersect_scene(scene, o, d, chunk=chunk,
                              nearest_segments=nearest_segments)
@@ -247,11 +251,11 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         L = L + jnp.where(miss[:, None], beta * scene.env, 0.0)
         if use_env:
             # env-map radiance on miss, MIS-weighted against the previous
-            # bounce's env NEE (camera rays: weight 1)
+            # bounce's env NEE (camera rays / delta bounces: weight 1)
             le = env_eval(scene, d)
             if use_nee:
                 pe = env_pdf(scene, d)
-                w = jnp.where(depth == 0, 1.0,
+                w = jnp.where((depth == 0) | prev_delta, 1.0,
                               prev_pdf ** 2 / jnp.maximum(
                                   prev_pdf ** 2 + pe ** 2, 1e-30))
             else:  # naive sampler: BSDF sampling is the only strategy
@@ -260,7 +264,15 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         alive = alive & hs.hit
 
         is_hair = hs.mat == 0
-        nrm = hs.normal
+        sp = scene.surf_mat.gather(hs.mat_id)
+        # emission of surface hits (area lights seen by BSDF rays)
+        L = L + jnp.where((alive & ~is_hair)[:, None],
+                          beta * sp.emission, 0.0)
+
+        # surface normals flipped to face the ray (double-sided shading;
+        # the surface BSDF expects wo.z > 0)
+        nrm = hs.normal * jnp.where(
+            (jnp.sum(hs.normal * d, -1) > 0)[:, None], -1.0, 1.0)
         t1, t2 = _diffuse_frame(nrm)
         fx = jnp.where(is_hair[:, None], hs.tangent, t1)
         fy = jnp.where(is_hair[:, None], hs.frame_y, t2)
@@ -284,8 +296,8 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                                   nearest_segments=nearest_segments)
             wi = _to_local(wi_w, fx, fy, fz)
             f_hair = jh.hair_f(scene.hair, h, wo, wi) * jnp.abs(wi[:, 2:3])
-            f_diff = hs.albedo / jnp.pi * jnp.maximum(wi[:, 2:3], 0.0)
-            f = jnp.where(is_hair[:, None], f_hair, f_diff)
+            f_surf = js.surface_f(sp, wo, wi) * jnp.abs(wi[:, 2:3])
+            f = jnp.where(is_hair[:, None], f_hair, f_surf)
             contrib = beta * f * lint / jnp.maximum(dist[:, None] ** 2,
                                                     1e-12)
             L = L + jnp.where((alive & vis)[:, None], contrib, 0.0)
@@ -300,12 +312,12 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                                   nearest_segments=nearest_segments)
             wi = _to_local(wi_w, fx, fy, fz)
             f_hair = jh.hair_f(scene.hair, h, wo, wi) * jnp.abs(wi[:, 2:3])
-            f_diff = hs.albedo / jnp.pi * jnp.maximum(wi[:, 2:3], 0.0)
-            f = jnp.where(is_hair[:, None], f_hair, f_diff)
+            f_surf = js.surface_f(sp, wo, wi) * jnp.abs(wi[:, 2:3])
+            f = jnp.where(is_hair[:, None], f_hair, f_surf)
             pdf_b = jnp.where(
                 is_hair,
                 jax.lax.stop_gradient(jh.hair_pdf(scene.hair, h, wo, wi)),
-                jnp.maximum(wi[:, 2], 0.0) / jnp.pi)
+                jax.lax.stop_gradient(js.surface_pdf(sp, wo, wi)))
             w_mis = pdf_e ** 2 / jnp.maximum(pdf_e ** 2 + pdf_b ** 2,
                                              1e-30)
             contrib = beta * f * le * (
@@ -322,14 +334,12 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                                                            1e-12)
         w_hair = jnp.where((pdf_h > 1e-12)[:, None], w_hair, 0.0)
 
-        r = jnp.sqrt(ub[:, 0])
-        phi = 2.0 * jnp.pi * ub[:, 1]
-        wi_d = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi),
-                          jnp.sqrt(jnp.maximum(0.0, 1.0 - ub[:, 0]))], -1)
-        wi = jnp.where(is_hair[:, None], wi_h, wi_d)
-        weight = jnp.where(is_hair[:, None], w_hair, hs.albedo)
-        pdf_diff = jnp.maximum(wi_d[:, 2], 0.0) / jnp.pi
-        prev_pdf = jnp.where(is_hair, pdf_h, pdf_diff)
+        wi_s, w_surf, pdf_s, delta_s = js.surface_sample(sp, wo,
+                                                         ub[:, :3])
+        wi = jnp.where(is_hair[:, None], wi_h, wi_s)
+        weight = jnp.where(is_hair[:, None], w_hair, w_surf)
+        prev_pdf = jnp.where(is_hair, pdf_h, pdf_s)
+        prev_delta = ~is_hair & delta_s
 
         beta = beta * weight
         d_new = _to_world(wi, fx, fy, fz)
@@ -346,12 +356,13 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         alive = alive & ~die
         beta = jnp.where(rr_on[None] if rr_on.ndim else rr_on,
                          beta / p_cont[:, None], beta)
-        return (o_new, d_new, L, beta, alive, prev_pdf), None
+        return (o_new, d_new, L, beta, alive, prev_pdf, prev_delta), None
 
     # init derived from o so varying-axis types line up under shard_map
     zero3 = (o + d) * 0.0
-    init = (o, d, zero3, zero3 + 1.0, zero3[:, 0] < 1.0, zero3[:, 0])
-    (o, d, L, beta, alive, _), _ = jax.lax.scan(
+    init = (o, d, zero3, zero3 + 1.0, zero3[:, 0] < 1.0, zero3[:, 0],
+            zero3[:, 0] > 1.0)
+    (o, d, L, beta, alive, _, _), _ = jax.lax.scan(
         bounce, init, (ub_steps, jnp.arange(max_depth)))
     return L
 
