@@ -113,9 +113,12 @@ def main():
     mrays = total_rays / t_fwdbwd / 1e6
 
     _log(f"fwd+bwd timed: {t_fwdbwd:.2f}s; running oracle baseline")
-    # --- oracle baseline (numpy float64) on a small slice of the same scene
+    # --- oracle baseline (numpy float64) on a small slice of the same
+    # scene. Oracle cost is linear in rays x segments (dense brute-force
+    # intersects), so a tiny ray subset gives the same Mrays/s estimate —
+    # 24x24 took >1 h of numpy on the 120k-segment hairball
     from oracle.pathtrace import render as oracle_render, n_uniform_dims as ond
-    sub = 24
+    sub = 8
     rng = np.random.default_rng(0)
     u_o = rng.random((sub, sub, 1, ond(max_depth)))
     t0 = time.time()

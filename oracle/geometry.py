@@ -133,6 +133,39 @@ def intersect_sphere(ray_o, ray_d, center, radius, t_min=1e-4, t_max=INF):
             "normal": normal}
 
 
+def intersect_triangles(ray_o, ray_d, v0, v1, v2, t_min=1e-4, t_max=INF):
+    """Nearest ray-triangle hit over a whole mesh, Moller-Trumbore.
+
+    Mirrors the reference's `intersect_triangle` [U:libs/yocto/
+    yocto_shape.h] (SURVEY.md §2.2) vectorized over (N rays, T tris).
+    ray_o, ray_d: (N, 3); v0, v1, v2: (T, 3).
+    Returns nearest hit with barycentric (u, v) — position = (1-u-v)·v0 +
+    u·v1 + v·v2 — plus the triangle index and geometric normal.
+    """
+    e1 = (v1 - v0)[None]                    # (1, T, 3)
+    e2 = (v2 - v0)[None]
+    pv = np.cross(ray_d[:, None, :], e2)    # (N, T, 3)
+    det = np.sum(e1 * pv, axis=-1)
+    inv = 1.0 / np.where(np.abs(det) < 1e-12, 1e-12, det)
+    tv = ray_o[:, None, :] - v0[None]
+    u = np.sum(tv * pv, axis=-1) * inv
+    qv = np.cross(tv, e1)
+    v = np.sum(ray_d[:, None, :] * qv, axis=-1) * inv
+    t = np.sum(e2 * qv, axis=-1) * inv
+    ok = ((np.abs(det) > 1e-12) & (u >= 0) & (v >= 0) & (u + v <= 1)
+          & (t > t_min) & (t < t_max))
+    t = np.where(ok, t, INF)
+    tri = np.argmin(t, axis=-1)             # (N,)
+    n = ray_o.shape[0]
+    rid = np.arange(n)
+    t_best = t[rid, tri]
+    hit = t_best < INF
+    pos = ray_o + t_best[:, None] * ray_d
+    gn = normalize(np.cross(v1 - v0, v2 - v0))[tri]
+    return {"hit": hit, "t": t_best, "position": pos, "normal": gn,
+            "tri": tri, "u": u[rid, tri], "v": v[rid, tri]}
+
+
 def intersect_plane(ray_o, ray_d, point, normal, t_min=1e-4, t_max=INF):
     denom = np.sum(ray_d * normal, axis=-1)
     t = np.sum((point - ray_o) * normal, axis=-1) / np.where(

@@ -11,12 +11,14 @@ Determinism contract: all randomness comes from the caller-provided
 `uniforms` tensor of shape (n_rays, 4 + max_depth * 8):
   [0:2]                          subpixel jitter
   [2:4]                          thin-lens disk sample
-  [4 + 8*d : 4 + 8*d + 4]        BSDF sample at bounce d
+  [4 + 12*d : 4 + 12*d + 4]      BSDF sample at bounce d
                                  (surfaces use dims 0,1 + dim 2 as the
                                  lobe choice; hair uses all four)
-  [4 + 8*d + 4]                  Russian roulette at bounce d
-  [4 + 8*d + 5]                  light selection (reserved)
-  [4 + 8*d + 6 : 4 + 8*d + 8]    environment-map NEE sample at bounce d
+  [4 + 12*d + 4]                 Russian roulette at bounce d
+  [4 + 12*d + 5]                 area-light element selection
+  [4 + 12*d + 6 : 4 + 12*d + 8]  environment-map NEE sample at bounce d
+  [4 + 12*d + 8 : 4 + 12*d + 10] area-light position sample at bounce d
+  [4 + 12*d + 10 : 4 + 12*d + 12] reserved
 The JAX integrator consumes the SAME layout, so feeding both the same
 uniforms must reproduce the same image up to float32 tolerance.
 """
@@ -31,7 +33,7 @@ from .hair_bsdf import HairBSDF
 
 RR_START = 3
 D_PIXEL = 4
-D_BOUNCE = 8
+D_BOUNCE = 12
 
 
 def n_uniform_dims(max_depth):
@@ -48,12 +50,113 @@ def _to_world(w, fx, fy, fz):
 
 
 def scene_surface_materials(scene):
-    """Per-prim surface materials: one entry per sphere then per plane
-    (legacy 'albedo' entries lower to matte). Always >= 1 entry."""
+    """Per-prim surface materials: one entry per sphere, then per plane,
+    then per triangle mesh (legacy 'albedo' entries lower to matte).
+    Always >= 1 entry."""
     mats = [osb.material_from_legacy(p)
             for p in list(scene.get("spheres", []))
-            + list(scene.get("planes", []))]
+            + list(scene.get("planes", []))
+            + list(scene.get("meshes", []))]
     return mats or [osb.make_material()]
+
+
+def scene_area_lights(scene):
+    """Emissive-element light table (the reference's `init_lights` shape
+    CDFs, SURVEY.md §2.7 [U:libs/yocto/yocto_trace.cpp]).
+
+    Elements: every emissive sphere (kind 1) and every triangle of an
+    emissive mesh (kind 0). Selection pmf ~ element area x emission
+    luminance (power heuristic for the element pick). Emission is
+    double-sided. Returns None when the scene has no emissive shapes,
+    else a dict of flat arrays plus hit->element maps:
+      kind (A,), p0/p1/p2 (A,3) (sphere: p0=center, p1[:,0]=radius),
+      emission (A,3), area (A,), pmf (A,), cdf (A,),
+      sph_light_id (NS,), tri_light_id (T_total,) — -1 = not a light.
+    """
+    lum = np.array([0.2126, 0.7152, 0.0722])
+    spheres = list(scene.get("spheres") or [])
+    meshes = list(scene.get("meshes") or [])
+    n_pl = len(scene.get("planes") or [])
+    mats = scene_surface_materials(scene)
+    kind, p0s, p1s, p2s, ems, areas = [], [], [], [], [], []
+    sph_light_id = np.full(len(spheres), -1, np.int64)
+    tri_light_id = []
+    for i, sph in enumerate(spheres):
+        em = mats[i]["emission"]
+        if (em > 0).any():
+            sph_light_id[i] = len(kind)
+            kind.append(1)
+            p0s.append(np.asarray(sph["center"], np.float64))
+            p1s.append(np.array([sph["radius"], 0.0, 0.0]))
+            p2s.append(np.zeros(3))
+            ems.append(em)
+            areas.append(4.0 * np.pi * sph["radius"] ** 2)
+    for mi, mesh in enumerate(meshes):
+        em = mats[len(spheres) + n_pl + mi]["emission"]
+        tri = np.asarray(mesh["triangles"], np.int64)
+        ids = np.full(len(tri), -1, np.int64)
+        if (em > 0).any():
+            pos = np.asarray(mesh["positions"], np.float64)
+            v = pos[tri]
+            ar = 0.5 * np.linalg.norm(
+                np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1)
+            for ti in range(len(tri)):
+                ids[ti] = len(kind)
+                kind.append(0)
+                p0s.append(v[ti, 0])
+                p1s.append(v[ti, 1])
+                p2s.append(v[ti, 2])
+                ems.append(em)
+                areas.append(ar[ti])
+        tri_light_id.append(ids)
+    if not kind:
+        return None
+    areas = np.asarray(areas)
+    ems = np.asarray(ems)
+    power = areas * np.maximum(ems @ lum, 1e-12)
+    pmf = power / power.sum()
+    return {
+        "kind": np.asarray(kind, np.int64),
+        "p0": np.asarray(p0s), "p1": np.asarray(p1s),
+        "p2": np.asarray(p2s), "emission": ems, "area": areas,
+        "pmf": pmf, "cdf": np.cumsum(pmf),
+        "sph_light_id": sph_light_id,
+        "tri_light_id": (np.concatenate(tri_light_id)
+                         if tri_light_id else np.zeros(0, np.int64)),
+    }
+
+
+def _area_light_point(al, el, u0, u1):
+    """Sample a point on light element `el`. -> (point, normal)."""
+    kind = al["kind"][el]
+    # triangle: uniform barycentric
+    su = np.sqrt(np.maximum(u0, 0.0))
+    w1 = su * (1.0 - u1)
+    w2 = su * u1
+    p_tri = ((1.0 - w1 - w2)[:, None] * al["p0"][el]
+             + w1[:, None] * al["p1"][el] + w2[:, None] * al["p2"][el])
+    n_tri = np.cross(al["p1"][el] - al["p0"][el],
+                     al["p2"][el] - al["p0"][el])
+    n_tri = geo.normalize(n_tri)
+    # sphere: uniform area
+    z = 1.0 - 2.0 * u0
+    r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * np.pi * u1
+    n_sph = np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=-1)
+    p_sph = al["p0"][el] + n_sph * al["p1"][el][:, 0:1]
+    tri = (kind == 0)[:, None]
+    return (np.where(tri, p_tri, p_sph), np.where(tri, n_tri, n_sph))
+
+
+def _area_light_pdf_sa(al, el, pos, lpos, lnrm):
+    """Solid-angle pdf of NEE sampling light point `lpos` (element `el`)
+    from shading point `pos` (double-sided |cos|)."""
+    to_l = lpos - pos
+    dist2 = np.sum(to_l * to_l, axis=-1)
+    dist = np.sqrt(np.maximum(dist2, 1e-24))
+    cos_l = np.abs(np.sum(lnrm * to_l, axis=-1)) / dist
+    return (al["pmf"][el] * dist2
+            / np.maximum(cos_l * al["area"][el], 1e-12))
 
 
 def _gather_materials(mats, idx):
@@ -76,11 +179,18 @@ def _intersect_scene(scene, o, d):
         "hit": np.zeros(n, bool), "t": np.full(n, geo.INF),
         "mat": np.full(n, -1, np.int64),
         "mat_id": np.zeros(n, np.int64),
+        # light_id: scene_area_lights element index of the hit emissive
+        # prim, -1 otherwise (drives the MIS weight on BSDF-hit emission)
+        "light_id": np.full(n, -1, np.int64),
         "position": np.zeros((n, 3)), "normal": np.zeros((n, 3)),
+        # geometric normal (smooth shading never bends it) — drives the
+        # area-light pdf used in MIS weights
+        "gnormal": np.zeros((n, 3)),
         "tangent": np.zeros((n, 3)), "frame_y": np.zeros((n, 3)),
         "frame_z": np.zeros((n, 3)), "h": np.zeros(n),
         "radius": np.zeros(n),
     }
+    al = scene.get("_area_lights")
     if scene.get("segments") is not None:
         p0, p1, r0, r1 = scene["segments"]
         hs = geo.intersect_segments(o, d, p0, p1, r0, r1)
@@ -94,7 +204,7 @@ def _intersect_scene(scene, o, d):
         seg_r = (hs["u"] * (r1 - r0)[hs["seg"]] + r0[hs["seg"]])
         best["radius"] = np.where(closer, seg_r, best["radius"])
     mat_id = 0
-    for sph in scene.get("spheres", []):
+    for si, sph in enumerate(scene.get("spheres") or []):
         hs = geo.intersect_sphere(o, d, np.asarray(sph["center"], np.float64),
                                   sph["radius"])
         closer = hs["hit"] & (hs["t"] < best["t"])
@@ -102,8 +212,13 @@ def _intersect_scene(scene, o, d):
         best["t"] = np.where(closer, hs["t"], best["t"])
         best["mat"] = np.where(closer, 1, best["mat"])
         best["mat_id"] = np.where(closer, mat_id, best["mat_id"])
+        if al is not None:
+            best["light_id"] = np.where(closer, al["sph_light_id"][si],
+                                        best["light_id"])
         for k in ("position", "normal"):
             best[k] = np.where(closer[:, None], hs[k], best[k])
+        best["gnormal"] = np.where(closer[:, None], hs["normal"],
+                                   best["gnormal"])
         mat_id += 1
     for pl in scene.get("planes", []):
         hs = geo.intersect_plane(o, d, np.asarray(pl["point"], np.float64),
@@ -116,6 +231,38 @@ def _intersect_scene(scene, o, d):
         best["mat_id"] = np.where(closer, mat_id, best["mat_id"])
         for k in ("position", "normal"):
             best[k] = np.where(closer[:, None], hs[k], best[k])
+        best["gnormal"] = np.where(closer[:, None], hs["normal"],
+                                   best["gnormal"])
+        mat_id += 1
+    tri_base = 0
+    for mesh in scene.get("meshes", []):
+        pos = np.asarray(mesh["positions"], np.float64)
+        tri = np.asarray(mesh["triangles"], np.int64)
+        hs = geo.intersect_triangles(o, d, pos[tri[:, 0]], pos[tri[:, 1]],
+                                     pos[tri[:, 2]])
+        closer = hs["hit"] & (hs["t"] < best["t"])
+        best["hit"] |= closer
+        best["t"] = np.where(closer, hs["t"], best["t"])
+        best["mat"] = np.where(closer, 1, best["mat"])
+        best["mat_id"] = np.where(closer, mat_id, best["mat_id"])
+        if al is not None:
+            lid = al["tri_light_id"][tri_base + hs["tri"]]
+            best["light_id"] = np.where(closer, lid, best["light_id"])
+        tri_base += len(tri)
+        nrm = hs["normal"]
+        if mesh.get("normals") is not None:
+            vn = np.asarray(mesh["normals"], np.float64)[tri[hs["tri"]]]
+            nrm = geo.normalize((1.0 - hs["u"] - hs["v"])[:, None] * vn[:, 0]
+                                + hs["u"][:, None] * vn[:, 1]
+                                + hs["v"][:, None] * vn[:, 2])
+            # keep the shading normal on the geometric normal's side
+            flip = np.sum(nrm * hs["normal"], axis=-1) < 0
+            nrm = nrm * np.where(flip[:, None], -1.0, 1.0)
+        best["position"] = np.where(closer[:, None], hs["position"],
+                                    best["position"])
+        best["normal"] = np.where(closer[:, None], nrm, best["normal"])
+        best["gnormal"] = np.where(closer[:, None], hs["normal"],
+                                   best["gnormal"])
         mat_id += 1
     return best
 
@@ -157,6 +304,10 @@ def trace(scene, o, d, uniforms, max_depth=4):
         from .envmap import EnvMap
         env_map = EnvMap(env_map)
     mats = scene_surface_materials(scene)
+    al = scene.get("_area_lights", ...)
+    if al is ...:
+        al = scene_area_lights(scene)
+        scene = dict(scene, _area_lights=al)
     # pdf of the previous bounce's BSDF sample (solid angle) for MIS
     prev_pdf = np.zeros(n)
     # previous bounce sampled a delta lobe: BSDF sampling is the only
@@ -187,9 +338,20 @@ def trace(scene, o, d, uniforms, max_depth=4):
         pos = hs["position"]
         sp = _gather_materials(mats, hs["mat_id"])
 
-        # emission of surface hits (area lights seen by BSDF rays)
-        L += np.where((alive & ~is_hair)[:, None], beta * sp["emission"],
-                      0.0)
+        # emission of surface hits (area lights seen by BSDF rays),
+        # MIS-weighted against the area-light NEE that could have sampled
+        # the same point (camera rays / delta bounces: weight 1)
+        w_em = np.ones(n)
+        if al is not None and depth > 0:
+            lid = np.maximum(hs["light_id"], 0)
+            pdf_l = _area_light_pdf_sa(al, lid, o, hs["position"],
+                                       hs["gnormal"])
+            w = prev_pdf ** 2 / np.maximum(prev_pdf ** 2 + pdf_l ** 2,
+                                           1e-30)
+            w_em = np.where(hs["light_id"] >= 0,
+                            np.where(prev_delta, 1.0, w), 1.0)
+        L += np.where((alive & ~is_hair)[:, None],
+                      beta * sp["emission"] * w_em[:, None], 0.0)
 
         # shading frames; surface normals flipped to face the ray so the
         # surface BSDF always sees wo.z > 0 (double-sided shading)
@@ -250,6 +412,33 @@ def trace(scene, o, d, uniforms, max_depth=4):
             w_mis = pdf_e ** 2 / np.maximum(pdf_e ** 2 + pdf_b ** 2, 1e-30)
             contrib = beta * f * le * (w_mis / np.maximum(pdf_e, 1e-12))[:, None]
             L += np.where((alive & vis)[:, None], contrib, 0.0)
+
+        # ---- area-light NEE with MIS (emissive spheres / triangles)
+        if al is not None:
+            u_sel = uniforms[:, D_PIXEL + D_BOUNCE * depth + 5]
+            ua = uniforms[:, D_PIXEL + D_BOUNCE * depth + 8:
+                          D_PIXEL + D_BOUNCE * depth + 10]
+            el = np.minimum(np.searchsorted(al["cdf"], u_sel),
+                            len(al["cdf"]) - 1)
+            lpos, lnrm = _area_light_point(al, el, ua[:, 0], ua[:, 1])
+            to_l = lpos - pos
+            dist = np.linalg.norm(to_l, axis=-1)
+            wi_w = to_l / np.maximum(dist[:, None], 1e-12)
+            pdf_a = _area_light_pdf_sa(al, el, pos, lpos, lnrm)
+            sh_o = pos + wi_w * ray_eps[:, None]
+            vis = ~_occluded(scene, sh_o, wi_w, dist - 2.0 * ray_eps)
+            wi = _to_local(wi_w, fx, fy, fz)
+            f_hair = bsdf_eval.f(wo, wi) * np.abs(wi[:, 2:3])
+            f_surf = osb.surface_f(sp, wo, wi) * np.abs(wi[:, 2:3])
+            f = np.where(is_hair[:, None], f_hair, f_surf)
+            pdf_b = np.where(is_hair, bsdf.pdf(wo, wi),
+                             osb.surface_pdf(sp, wo, wi))
+            w_mis = pdf_a ** 2 / np.maximum(pdf_a ** 2 + pdf_b ** 2, 1e-30)
+            le = al["emission"][el]
+            ok = alive & vis & (pdf_a > 1e-12) & (dist > 4.0 * ray_eps)
+            contrib = beta * f * le * (w_mis / np.maximum(pdf_a,
+                                                          1e-12))[:, None]
+            L += np.where(ok[:, None], contrib, 0.0)
 
         # ---- BSDF sampling for the next bounce
         ub = uniforms[:, D_PIXEL + D_BOUNCE * depth:

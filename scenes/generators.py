@@ -41,6 +41,99 @@ DEFAULT_HAIR = {
 }
 
 
+def icosphere(center=(0, 0, 0), radius=1.0, subdiv=2, stretch=(1, 1, 1)):
+    """Triangle-mesh sphere by icosahedron subdivision.
+
+    The mesh-shape analogue of the reference's shape ops (SURVEY.md §2.3
+    [U:libs/yocto/yocto_shape.cpp] make_sphere/subdivide). Returns a mesh
+    dict {positions, triangles, normals}; `stretch` makes ellipsoids
+    (normals recomputed for the stretched surface).
+    """
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    v = np.array([[-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+                  [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+                  [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1]],
+                 np.float64)
+    v = normalize(v)
+    f = np.array([[0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10],
+                  [0, 10, 11], [1, 5, 9], [5, 11, 4], [11, 10, 2],
+                  [10, 7, 6], [7, 1, 8], [3, 9, 4], [3, 4, 2],
+                  [3, 2, 6], [3, 6, 8], [3, 8, 9], [4, 9, 5],
+                  [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1]], np.int64)
+    for _ in range(subdiv):
+        mid = {}
+        verts = list(v)
+
+        def midpoint(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in mid:
+                mid[key] = len(verts)
+                verts.append(normalize(0.5 * (verts[a] + verts[b])))
+            return mid[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+            nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        v = np.asarray(verts)
+        f = np.asarray(nf, np.int64)
+    s = np.asarray(stretch, np.float64)
+    pos = v * s * radius + np.asarray(center, np.float64)
+    # ellipsoid normal: gradient of the implicit surface = v / s
+    nrm = normalize(v / s)
+    return {"positions": pos, "triangles": f, "normals": nrm}
+
+
+def mesh_area_cdf(mesh):
+    """Per-triangle area CDF (the reference's `sample_shape` element CDF,
+    SURVEY.md §2.3)."""
+    pos = np.asarray(mesh["positions"], np.float64)
+    tri = np.asarray(mesh["triangles"], np.int64)
+    v = pos[tri]
+    area = 0.5 * np.linalg.norm(
+        np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1)
+    cdf = np.cumsum(area)
+    return cdf / cdf[-1], area
+
+
+def fur_on_mesh(mesh, n_strands, length=(0.04, 0.08), curl=0.015,
+                rng=None):
+    """Grow fur strands from a triangle mesh: root points sampled
+    area-uniformly over the surface, strands extruded along interpolated
+    normals with a random lateral curl. Returns (N, 4, 3) Bezier control
+    points — the data-prep analogue of the reference's hair-on-shape
+    assets (SURVEY.md §3.5)."""
+    rng = rng or np.random.default_rng(0)
+    cdf, _ = mesh_area_cdf(mesh)
+    pos = np.asarray(mesh["positions"], np.float64)
+    tri = np.asarray(mesh["triangles"], np.int64)
+    nrm = np.asarray(mesh["normals"], np.float64) \
+        if mesh.get("normals") is not None else None
+    ti = np.searchsorted(cdf, rng.random(n_strands))
+    # uniform barycentric sample
+    su = np.sqrt(rng.random(n_strands))
+    bv = rng.random(n_strands)
+    w0, w1, w2 = 1.0 - su, su * (1.0 - bv), su * bv
+    v = pos[tri[ti]]
+    roots = (w0[:, None] * v[:, 0] + w1[:, None] * v[:, 1]
+             + w2[:, None] * v[:, 2])
+    if nrm is not None:
+        vn = nrm[tri[ti]]
+        dirs = normalize(w0[:, None] * vn[:, 0] + w1[:, None] * vn[:, 1]
+                         + w2[:, None] * vn[:, 2])
+    else:
+        dirs = normalize(np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]))
+    ln = rng.uniform(length[0], length[1], n_strands)[:, None]
+    t1 = normalize(np.cross(dirs, rng.normal(0, 1, (n_strands, 3))))
+    a1 = rng.uniform(curl / 3, curl, n_strands)[:, None]
+    return np.stack([
+        roots,
+        roots + dirs * ln * 0.4 + t1 * a1,
+        roots + dirs * ln * 0.7 + t1 * a1,
+        roots + dirs * ln + t1 * a1 * 2,
+    ], axis=1)
+
+
 def _camera(position, look_at, vfov=35.0):
     return {"position": np.asarray(position, np.float64),
             "look_at": np.asarray(look_at, np.float64),
@@ -177,31 +270,41 @@ def scalp_model(n_strands=30000, n_seg=10, seed=13, eumelanin=1.3,
     return scene, _camera([0.0, 0.35, 1.7], [0.0, 0.1, 0.0])
 
 
-def furry_bunny(n_strands=50000, n_seg=6, seed=17):
-    """Config 5: fur on a body proxy (two spheres), env-light dominated —
-    the inverse-rendering target scene."""
+def bunny_mesh(subdiv=2):
+    """Procedural triangle-mesh bunny: ellipsoid body + head + two ears
+    (the Stanford-bunny asset is unavailable offline; this stands in for
+    config 5's mesh body)."""
+    parts = [
+        icosphere([0.0, -0.1, 0.0], 0.30, subdiv, stretch=(1.0, 0.9, 1.2)),
+        icosphere([0.0, 0.30, 0.16], 0.18, subdiv,
+                  stretch=(0.9, 1.0, 1.05)),
+        icosphere([-0.08, 0.52, 0.10], 0.055, max(subdiv - 1, 1),
+                  stretch=(0.55, 2.2, 0.8)),
+        icosphere([0.08, 0.52, 0.10], 0.055, max(subdiv - 1, 1),
+                  stretch=(0.55, 2.2, 0.8)),
+    ]
+    off = 0
+    pos, tris, nrm = [], [], []
+    for p in parts:
+        pos.append(p["positions"])
+        tris.append(p["triangles"] + off)
+        nrm.append(p["normals"])
+        off += len(p["positions"])
+    return {"positions": np.concatenate(pos),
+            "triangles": np.concatenate(tris),
+            "normals": np.concatenate(nrm),
+            "material": {"color": [0.3, 0.25, 0.2], "roughness": 0.8,
+                         "specular": 0.0}}
+
+
+def furry_bunny(n_strands=50000, n_seg=6, seed=17, subdiv=2):
+    """Config 5: fur grown on a triangle-mesh bunny (area-uniform roots,
+    strands along surface normals), env-light dominated — the
+    inverse-rendering target scene."""
     rng = np.random.default_rng(seed)
-    # body + head spheres
-    bodies = [([0.0, -0.1, 0.0], 0.32), ([0.0, 0.32, 0.1], 0.2)]
-    counts = [int(n_strands * 0.7), n_strands - int(n_strands * 0.7)]
-    cps = []
-    for (center, radius), cnt in zip(bodies, counts):
-        z = rng.uniform(-1, 1, cnt)
-        phi = rng.uniform(0, 2 * np.pi, cnt)
-        r = np.sqrt(np.maximum(0.0, 1 - z * z))
-        dirs = np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=-1)
-        roots = np.asarray(center) + dirs * radius
-        length = rng.uniform(0.04, 0.08, cnt)[:, None]
-        t1 = normalize(np.cross(dirs, rng.normal(0, 1, (cnt, 3))))
-        a1 = rng.uniform(0.005, 0.02, cnt)[:, None]
-        cp = np.stack([
-            roots,
-            roots + dirs * length * 0.4 + t1 * a1,
-            roots + dirs * length * 0.7 + t1 * a1,
-            roots + dirs * length + t1 * a1 * 2,
-        ], axis=1)
-        cps.append(cp)
-    cp = np.concatenate(cps)
+    body = bunny_mesh(subdiv=subdiv)
+    cp = fur_on_mesh(body, n_strands, length=(0.04, 0.08), curl=0.015,
+                     rng=rng)
     segs = _strands_to_segments(cp, np.full(n_strands, 0.0015),
                                 np.full(n_strands, 0.0006), n_seg=n_seg)
     from oracle.envmap import gradient_sky
@@ -211,8 +314,7 @@ def furry_bunny(n_strands=50000, n_seg=6, seed=17):
         "hair_material": dict(DEFAULT_HAIR,
                               sigma_a=np.array([0.8, 1.2, 1.6]),
                               beta_m=0.4, beta_n=0.5),
-        "spheres": [{"center": c, "radius": r * 0.985,
-                     "albedo": [0.3, 0.25, 0.2]} for c, r in bodies],
+        "meshes": [body],
         "planes": [{"point": [0.0, -0.45, 0.0], "normal": [0.0, 1.0, 0.0],
                     "albedo": [0.45, 0.45, 0.45]}],
         "point_lights": [

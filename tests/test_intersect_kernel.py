@@ -89,3 +89,28 @@ def test_any_hit_matches_nearest(setup):
     t, _, hit = nearest(o, d)
     want = np.asarray(hit) & (np.asarray(t) < np.asarray(t_max))
     np.testing.assert_array_equal(np.asarray(occ), want)
+
+
+def test_streaming_matches_resident(setup):
+    """The HBM-streaming (double-buffered DMA) kernel variant must agree
+    with the VMEM-resident one bit-for-bit (it runs the same tests in the
+    same front-to-back order)."""
+    from yhair_tpu.ops import intersect_kernel as ik
+
+    sc, sc2, cl, nearest, _ = setup
+    rng = np.random.default_rng(7)
+    o, d = _random_rays(rng, 512)
+    t_r, idx_r, hit_r = ik.make_nearest_fn(cl, interpret=True,
+                                           stream=False)(o, d)
+    occ_r = ik.make_occluded_fn(cl, interpret=True, stream=False)(
+        o, d, jnp.full(o.shape[:1], 0.9 * np.asarray(t_r)))
+
+    t_s, idx_s, hit_s = ik.make_nearest_fn(cl, interpret=True,
+                                           stream=True)(o, d)
+    occ_s = ik.make_occluded_fn(cl, interpret=True, stream=True)(
+        o, d, jnp.full(o.shape[:1], 0.9 * np.asarray(t_r)))
+
+    np.testing.assert_array_equal(np.asarray(hit_r), np.asarray(hit_s))
+    np.testing.assert_array_equal(np.asarray(idx_r), np.asarray(idx_s))
+    np.testing.assert_array_equal(np.asarray(t_r), np.asarray(t_s))
+    np.testing.assert_array_equal(np.asarray(occ_r), np.asarray(occ_s))

@@ -108,3 +108,36 @@ def test_image_roundtrips(tmp_path):
                                atol=1e-9)
     f = image.tonemap(hdr, exposure=1.0, filmic=True)
     assert f.min() >= 0 and f.max() <= 1
+
+
+def test_mesh_ply_roundtrip(tmp_path):
+    from scenes import generators as gen
+    mesh = gen.icosphere(radius=0.4, subdiv=1)
+    p = tmp_path / "m.ply"
+    ply.save_mesh(p, mesh["positions"], mesh["triangles"], mesh["normals"])
+    back = ply.load_mesh(p)
+    np.testing.assert_allclose(back["positions"], mesh["positions"],
+                               atol=1e-6)
+    np.testing.assert_array_equal(back["triangles"], mesh["triangles"])
+    np.testing.assert_allclose(back["normals"], mesh["normals"], atol=1e-6)
+
+
+def test_scene_json_mesh(tmp_path):
+    path = tmp_path / "scene.json"
+    path.write_text("""{
+      "strands": {"generator": "single_strand"},
+      "meshes": [{"generator": "icosphere", "radius": 0.3, "subdiv": 1,
+                  "scale": 2.0, "offset": [0, 1, 0],
+                  "material": {"color": [0.5, 0.4, 0.3],
+                               "roughness": 0.5}}],
+      "point_lights": [{"position": [2,2,2], "intensity": [10,10,10]}]
+    }""")
+    scene, cam = scene_json.load(path)
+    mesh = scene["meshes"][0]
+    assert mesh["triangles"].shape[1] == 3
+    # scale + offset applied: centroid near [0, 1, 0], radius 0.6
+    c = mesh["positions"].mean(0)
+    np.testing.assert_allclose(c, [0, 1, 0], atol=1e-6)
+    r = np.linalg.norm(mesh["positions"] - c, axis=-1)
+    np.testing.assert_allclose(r.max(), 0.6, atol=1e-6)
+    assert mesh["material"]["roughness"] == 0.5

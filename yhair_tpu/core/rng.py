@@ -6,8 +6,9 @@ The reference seeds a PCG32 per pixel [U:libs/yocto/yocto_math.h rng_state]
 independent of sharding or evaluation order (SURVEY.md §5 checkpoint row).
 
 The integrator consumes a flat uniforms tensor with the SAME layout as the
-oracle (oracle/pathtrace.py): [2 pixel-jitter + 2 lens dims, then 8 dims
-per bounce].
+oracle (oracle/pathtrace.py): [2 pixel-jitter + 2 lens dims, then 12 dims
+per bounce: 4 BSDF, 1 RR, 1 light select, 2 env NEE, 2 area-light NEE,
+2 reserved].
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 D_PIXEL = 4
-D_BOUNCE = 8
+D_BOUNCE = 12
 
 
 def n_uniform_dims(max_depth: int) -> int:

@@ -21,6 +21,7 @@ import numpy as np
 from ..bsdf.hair import HairMaterial
 from ..bsdf.surface import SurfaceMaterial
 from ..geometry.segments import Segments
+from ..geometry.triangles import Triangles
 from .camera import Camera
 
 
@@ -28,13 +29,28 @@ class Scene(NamedTuple):
     segments: Segments
     hair: HairMaterial
     surf_mat: SurfaceMaterial  # (M, ...) material table; sphere i ->
-                               # entry i, plane j -> entry NS + j
+                               # entry i, plane j -> entry NS + j,
+                               # mesh k -> entry NS + NP + k
     sph_center: jax.Array    # (NS, 3)
     sph_radius: jax.Array    # (NS,)
     pln_point: jax.Array     # (NP, 3)
     pln_normal: jax.Array    # (NP, 3)
+    tris: Triangles          # flattened triangle meshes (may be empty)
     light_pos: jax.Array     # (L, 3)
     light_intensity: jax.Array  # (L, 3)
+    # area lights: flattened emissive elements (spheres + mesh triangles),
+    # mirrors oracle/pathtrace.py:scene_area_lights (the reference's
+    # init_lights CDFs, SURVEY.md §2.7). Empty (0, ...) = none.
+    al_kind: jax.Array       # (A,) int32: 0 = triangle, 1 = sphere
+    al_p0: jax.Array         # (A, 3) v0 / sphere center
+    al_p1: jax.Array         # (A, 3) v1 / [radius, 0, 0]
+    al_p2: jax.Array         # (A, 3) v2 / 0
+    al_emission: jax.Array   # (A, 3)
+    al_area: jax.Array       # (A,)
+    al_pmf: jax.Array        # (A,)
+    al_cdf: jax.Array        # (A,)
+    sph_light_id: jax.Array  # (NS,) int32 element id, -1 = not a light
+    tri_light_id: jax.Array  # (T,) int32 aligned with tris
     env: jax.Array           # (3,) constant environment term
     env_map: jax.Array       # (H, W, 3) equirect env map; (0, 0, 3) = none
     env_pmf: jax.Array       # (H*W,) texel pmf for importance sampling
@@ -58,6 +74,14 @@ class Scene(NamedTuple):
     def n_lights(self):
         return self.light_pos.shape[0]
 
+    @property
+    def n_triangles(self):
+        return self.tris.n_triangles
+
+    @property
+    def n_area_lights(self):
+        return self.al_kind.shape[0]
+
 
 def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
     """Convert an oracle-format scene dict into device arrays."""
@@ -69,16 +93,41 @@ def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
         beta_n=m["beta_n"], alpha=m.get("alpha", np.deg2rad(2.0)),
         eta=m.get("eta", 1.55), dtype=dtype)
 
-    spheres = scene.get("spheres", [])
-    planes = scene.get("planes", [])
-    lights = scene.get("point_lights", [])
+    spheres = scene.get("spheres") or []
+    planes = scene.get("planes") or []
+    meshes = scene.get("meshes") or []
+    lights = scene.get("point_lights") or []
 
     def arr(vals, shape):
         if not vals:
             return jnp.zeros(shape, dtype)
         return jnp.asarray(np.asarray(vals, np.float64), dtype)
 
-    from oracle.pathtrace import scene_surface_materials
+    from oracle.pathtrace import scene_area_lights, scene_surface_materials
+
+    al = scene_area_lights(scene)
+    if al is None:
+        z3 = jnp.zeros((0, 3), dtype)
+        z1 = jnp.zeros((0,), dtype)
+        al_fields = dict(
+            al_kind=jnp.zeros((0,), jnp.int32), al_p0=z3, al_p1=z3,
+            al_p2=z3, al_emission=z3, al_area=z1, al_pmf=z1, al_cdf=z1,
+            sph_light_id=jnp.full((len(spheres),), -1, jnp.int32),
+            tri_light_id=jnp.full(
+                (int(sum(len(np.asarray(m["triangles"])) for m in meshes)),),
+                -1, jnp.int32))
+    else:
+        al_fields = dict(
+            al_kind=jnp.asarray(al["kind"], jnp.int32),
+            al_p0=jnp.asarray(al["p0"], dtype),
+            al_p1=jnp.asarray(al["p1"], dtype),
+            al_p2=jnp.asarray(al["p2"], dtype),
+            al_emission=jnp.asarray(al["emission"], dtype),
+            al_area=jnp.asarray(al["area"], dtype),
+            al_pmf=jnp.asarray(al["pmf"], dtype),
+            al_cdf=jnp.asarray(al["cdf"], dtype),
+            sph_light_id=jnp.asarray(al["sph_light_id"], jnp.int32),
+            tri_light_id=jnp.asarray(al["tri_light_id"], jnp.int32))
 
     return Scene(
         segments=segs,
@@ -89,8 +138,12 @@ def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
         sph_radius=arr([s["radius"] for s in spheres], (0,)),
         pln_point=arr([p["point"] for p in planes], (0, 3)),
         pln_normal=arr([p["normal"] for p in planes], (0, 3)),
+        tris=Triangles.from_meshes(meshes,
+                                   mat_id0=len(spheres) + len(planes),
+                                   dtype=dtype),
         light_pos=arr([l["position"] for l in lights], (0, 3)),
         light_intensity=arr([l["intensity"] for l in lights], (0, 3)),
+        **al_fields,
         env=jnp.asarray(np.asarray(scene.get("environment", [0.0, 0.0, 0.0]),
                                    np.float64), dtype),
         **_env_map_arrays(scene.get("env_map"), dtype),

@@ -30,6 +30,7 @@ from ..core.envmap import env_eval, env_pdf, env_sample, has_env
 from ..core.rng import D_BOUNCE, D_PIXEL, n_uniform_dims
 from ..core.scene import Scene
 from ..geometry import segments as seg
+from ..geometry import triangles as tri
 
 INF = seg.INF
 RR_START = 3
@@ -40,8 +41,10 @@ class Hit(NamedTuple):
     t: jax.Array          # (N,)
     mat: jax.Array        # (N,) int32: -1 miss, 0 hair, 1 surface
     mat_id: jax.Array     # (N,) int32 into scene.surf_mat (surface hits)
+    light_id: jax.Array   # (N,) int32 area-light element id, -1 = none
     position: jax.Array   # (N, 3)
-    normal: jax.Array     # (N, 3) surface normal
+    normal: jax.Array     # (N, 3) surface shading normal
+    gnormal: jax.Array    # (N, 3) geometric normal (area-light MIS pdf)
     tangent: jax.Array    # (N, 3) hair frame x
     frame_y: jax.Array    # (N, 3)
     frame_z: jax.Array    # (N, 3)
@@ -85,7 +88,9 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
     best_t = jnp.where(hit_seg, t_seg, INF)
     mat = jnp.where(hit_seg, 0, -1).astype(jnp.int32)
     mat_id = jnp.zeros((n,), jnp.int32)
+    light_id = jnp.full((n,), -1, jnp.int32)
     normal = jnp.zeros((n, 3), o.dtype)
+    gnormal = jnp.zeros((n, 3), o.dtype)
 
     if scene.n_spheres:
         oc = o[:, None, :] - scene.sph_center[None]
@@ -107,6 +112,10 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
         n_s = n_s / jnp.maximum(
             jnp.linalg.norm(n_s, axis=-1, keepdims=True), 1e-12)
         normal = jnp.where(closer[:, None], n_s, normal)
+        gnormal = jnp.where(closer[:, None], n_s, gnormal)
+        if scene.n_area_lights:
+            light_id = jnp.where(closer, scene.sph_light_id[i_s],
+                                 light_id)
 
     if scene.n_planes:
         denom = jnp.sum(d[:, None, :] * scene.pln_normal[None], -1)
@@ -123,6 +132,22 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
                            scene.n_spheres + i_p.astype(jnp.int32), mat_id)
         pn = scene.pln_normal[i_p]
         normal = jnp.where(closer[:, None], pn, normal)
+        gnormal = jnp.where(closer[:, None], pn, gnormal)
+
+    if scene.n_triangles:
+        t_t, i_t, hit_t = tri.nearest_hit(o, d, scene.tris, chunk=chunk)
+        closer = jnp.where(hit_t, t_t, INF) < best_t
+        best_t = jnp.where(closer, t_t, best_t)
+        mat = jnp.where(closer, 1, mat)
+        tsh = tri.shade_info(o, d, i_t, scene.tris)
+        mat_id = jnp.where(closer, tsh.mat_id, mat_id)
+        normal = jnp.where(closer[:, None], tsh.normal.astype(o.dtype),
+                           normal)
+        gnormal = jnp.where(closer[:, None], tsh.gnormal.astype(o.dtype),
+                            gnormal)
+        if scene.n_area_lights:
+            light_id = jnp.where(closer, scene.tri_light_id[i_t],
+                                 light_id)
 
     hit = best_t < INF
     is_hair = hit & (mat == 0)
@@ -131,7 +156,8 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
     pos = o + jnp.where(hit, best_t, 0.0)[:, None] * d
     position = jnp.where(is_hair[:, None], sh.position, pos)
     return Hit(hit=hit, t=jnp.where(hit, best_t, INF), mat=mat,
-               mat_id=mat_id, position=position, normal=normal,
+               mat_id=mat_id, light_id=light_id, position=position,
+               normal=normal, gnormal=gnormal,
                tangent=sh.tangent, frame_y=sh.frame_y, frame_z=sh.frame_z,
                h=jnp.where(is_hair, sh.h, 0.0),
                radius=jnp.where(is_hair, sh.radius, 0.0))
@@ -172,7 +198,43 @@ def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
             jnp.abs(denom) < 1e-12, 1e-12, denom)
         tp = jnp.where((jnp.abs(denom) > 1e-9) & (tp > 1e-4), tp, INF)
         occ = occ | (tp.min(-1) < limit)
+
+    if scene.n_triangles:
+        occ = occ | tri.occluded(o, d, dist, scene.tris, chunk=chunk)
     return occ
+
+
+def _area_light_point(scene: Scene, el, u0, u1):
+    """Sample a point on area-light element `el` — mirrors
+    oracle/pathtrace.py:_area_light_point. -> (point, normal)."""
+    kind = scene.al_kind[el]
+    p0, p1, p2 = scene.al_p0[el], scene.al_p1[el], scene.al_p2[el]
+    su = jnp.sqrt(jnp.maximum(u0, 0.0))
+    w1 = su * (1.0 - u1)
+    w2 = su * u1
+    p_tri = ((1.0 - w1 - w2)[:, None] * p0 + w1[:, None] * p1
+             + w2[:, None] * p2)
+    n_tri = jnp.cross(p1 - p0, p2 - p0)
+    n_tri = n_tri / jnp.maximum(
+        jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
+    z = 1.0 - 2.0 * u0
+    r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+    phi = 2.0 * jnp.pi * u1
+    n_sph = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+    p_sph = p0 + n_sph * p1[:, 0:1]
+    is_tri = (kind == 0)[:, None]
+    return (jnp.where(is_tri, p_tri, p_sph),
+            jnp.where(is_tri, n_tri, n_sph))
+
+
+def _area_light_pdf_sa(scene: Scene, el, pos, lpos, lnrm):
+    """Solid-angle pdf of area-light NEE reaching `lpos` from `pos`."""
+    to_l = lpos - pos
+    dist2 = jnp.sum(to_l * to_l, axis=-1)
+    dist = jnp.sqrt(jnp.maximum(dist2, 1e-24))
+    cos_l = jnp.abs(jnp.sum(lnrm * to_l, axis=-1)) / dist
+    return (scene.al_pmf[el] * dist2
+            / jnp.maximum(cos_l * scene.al_area[el], 1e-12))
 
 
 def _diffuse_frame(nrm):
@@ -265,9 +327,20 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
 
         is_hair = hs.mat == 0
         sp = scene.surf_mat.gather(hs.mat_id)
-        # emission of surface hits (area lights seen by BSDF rays)
+        # emission of surface hits (area lights seen by BSDF rays),
+        # MIS-weighted against the area-light NEE that could have reached
+        # the same point (camera rays / delta bounces / naive: weight 1)
+        w_em = jnp.ones_like(prev_pdf)
+        if scene.n_area_lights and use_nee:
+            lid = jnp.maximum(hs.light_id, 0)
+            pdf_l = _area_light_pdf_sa(scene, lid, o, hs.position,
+                                       hs.gnormal)
+            w = prev_pdf ** 2 / jnp.maximum(prev_pdf ** 2 + pdf_l ** 2,
+                                            1e-30)
+            w = jnp.where((depth == 0) | prev_delta, 1.0, w)
+            w_em = jnp.where(hs.light_id >= 0, w, 1.0)
         L = L + jnp.where((alive & ~is_hair)[:, None],
-                          beta * sp.emission, 0.0)
+                          beta * sp.emission * w_em[:, None], 0.0)
 
         # surface normals flipped to face the ray (double-sided shading;
         # the surface BSDF expects wo.z > 0)
@@ -323,6 +396,38 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
             contrib = beta * f * le * (
                 w_mis / jnp.maximum(pdf_e, 1e-12))[:, None]
             L = L + jnp.where((alive & vis)[:, None], contrib, 0.0)
+
+        # area-light NEE with MIS (emissive spheres / mesh triangles)
+        if scene.n_area_lights and use_nee:
+            el = jnp.minimum(
+                jnp.searchsorted(scene.al_cdf, ub[:, 5]),
+                scene.n_area_lights - 1).astype(jnp.int32)
+            lpos, lnrm = _area_light_point(scene, el, ub[:, 8], ub[:, 9])
+            lpos = jax.lax.stop_gradient(lpos)
+            to_l = lpos - pos
+            dist = jnp.linalg.norm(to_l, axis=-1)
+            wi_w = to_l / jnp.maximum(dist[:, None], 1e-12)
+            pdf_a = jax.lax.stop_gradient(
+                _area_light_pdf_sa(scene, el, pos, lpos, lnrm))
+            sh_o = pos + wi_w * ray_eps[:, None]
+            vis = ~occluded_scene(scene, sh_o, wi_w,
+                                  dist - 2.0 * ray_eps, chunk=chunk,
+                                  nearest_segments=nearest_segments)
+            wi = _to_local(wi_w, fx, fy, fz)
+            f_hair = jh.hair_f(scene.hair, h, wo, wi) * jnp.abs(wi[:, 2:3])
+            f_surf = js.surface_f(sp, wo, wi) * jnp.abs(wi[:, 2:3])
+            f = jnp.where(is_hair[:, None], f_hair, f_surf)
+            pdf_b = jnp.where(
+                is_hair,
+                jax.lax.stop_gradient(jh.hair_pdf(scene.hair, h, wo, wi)),
+                jax.lax.stop_gradient(js.surface_pdf(sp, wo, wi)))
+            w_mis = pdf_a ** 2 / jnp.maximum(pdf_a ** 2 + pdf_b ** 2,
+                                             1e-30)
+            le = scene.al_emission[el]
+            ok = alive & vis & (pdf_a > 1e-12) & (dist > 4.0 * ray_eps)
+            contrib = beta * f * le * (
+                w_mis / jnp.maximum(pdf_a, 1e-12))[:, None]
+            L = L + jnp.where(ok[:, None], contrib, 0.0)
 
         # BSDF sampling (detached directions)
         wi_h, f_h, pdf_h = jh.hair_sample(

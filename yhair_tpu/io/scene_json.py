@@ -78,6 +78,38 @@ def _resolve_strands(spec, base_dir):
             np.asarray(r1, np.float64) * scale)
 
 
+def _resolve_mesh(spec, base_dir):
+    """Mesh entry: {'ply': path} | {'generator': name, ...kwargs} |
+    inline {'positions': ..., 'triangles': ..., 'normals': ...}; plus
+    optional 'material', 'scale', 'offset'."""
+    from . import ply
+    if "ply" in spec:
+        mesh = ply.load_mesh(os.path.join(base_dir, spec["ply"]))
+    elif "generator" in spec:
+        import scenes.generators as gen
+        fn = getattr(gen, spec["generator"])
+        kwargs = {k: v for k, v in spec.items()
+                  if k not in ("generator", "material", "scale", "offset")}
+        mesh = fn(**kwargs)
+    elif "positions" in spec:
+        mesh = {"positions": np.asarray(spec["positions"], np.float64),
+                "triangles": np.asarray(spec["triangles"], np.int64),
+                "normals": (np.asarray(spec["normals"], np.float64)
+                            if spec.get("normals") is not None else None)}
+    else:
+        raise ValueError(f"unknown mesh source {spec}")
+    scale = spec.get("scale", 1.0)
+    offset = np.asarray(spec.get("offset", [0.0, 0.0, 0.0]), np.float64)
+    mesh = dict(mesh,
+                positions=np.asarray(mesh["positions"],
+                                     np.float64) * scale + offset)
+    if "material" in spec:
+        mesh["material"] = spec["material"]
+    elif "albedo" in spec:
+        mesh["albedo"] = spec["albedo"]
+    return mesh
+
+
 def load(path):
     """-> (scene_dict, camera_dict) in the shared oracle format."""
     with open(path) as f:
@@ -98,6 +130,7 @@ def load(path):
         "hair_material": _resolve_material(doc.get("hair_material", {})),
         "spheres": doc.get("spheres", []),
         "planes": doc.get("planes", []),
+        "meshes": [_resolve_mesh(m, base) for m in doc.get("meshes", [])],
         "point_lights": doc.get("point_lights", []),
         "environment": np.asarray(doc.get("environment", [0, 0, 0]),
                                   np.float64),
@@ -130,10 +163,22 @@ def save(path, scene, camera, strands_ply="strands.ply"):
         "strands": {"ply": strands_ply},
         "spheres": scene.get("spheres", []),
         "planes": scene.get("planes", []),
+        "meshes": [],
         "point_lights": scene.get("point_lights", []),
         "environment": np.asarray(scene.get("environment",
                                             [0, 0, 0])).tolist(),
     }
+
+    for i, mesh in enumerate(scene.get("meshes") or []):
+        mesh_ply = f"mesh_{i}.ply"
+        ply.save_mesh(os.path.join(base, mesh_ply), mesh["positions"],
+                      mesh["triangles"], mesh.get("normals"))
+        entry = {"ply": mesh_ply}
+        if "material" in mesh:
+            entry["material"] = mesh["material"]
+        elif "albedo" in mesh:
+            entry["albedo"] = mesh["albedo"]
+        doc["meshes"].append(entry)
 
     def clean(x):
         if isinstance(x, dict):

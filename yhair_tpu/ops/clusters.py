@@ -33,8 +33,9 @@ CLUSTER_SIZE = 128
 def _tiles(s0, s1, n_clusters, k):
     """Precomputed per-cluster kernel tiles from the (S, 4) endpoint SoA.
 
-    ta (C, 8, k): p0.xyz, r0, d2.xyz (= p1 - p0), dr (= r1 - r0)
-    tb (C, 8, k): |d2|^2, p0.d2, 6 zero rows (sublane padding is 8 anyway)
+    tc (C, 16, k): p0.xyz, r0, d2.xyz (= p1 - p0), dr (= r1 - r0),
+    |d2|^2, p0.d2, 6 zero rows (16 sublanes = two aligned (8, 128) f32
+    tiles — both the VMEM-resident layout and the per-cluster DMA unit).
     Precomputing d2/|d2|^2/p0.d2 here removes ~10 VPU ops per cluster
     visit from the kernel's inner loop.
     """
@@ -42,21 +43,19 @@ def _tiles(s0, s1, n_clusters, k):
     a1 = s1.reshape(n_clusters, k, 4).transpose(0, 2, 1)
     p0 = a0[:, :3]
     d2 = a1[:, :3] - p0
-    ta = np.concatenate([p0, a0[:, 3:4], d2, a1[:, 3:4] - a0[:, 3:4]],
-                        axis=1)
     c_seg = (d2 * d2).sum(1, keepdims=True)
     p0_d2 = (p0 * d2).sum(1, keepdims=True)
-    tb = np.concatenate([c_seg, p0_d2,
+    tc = np.concatenate([p0, a0[:, 3:4], d2, a1[:, 3:4] - a0[:, 3:4],
+                         c_seg, p0_d2,
                          np.zeros((n_clusters, 6, k), np.float32)], axis=1)
-    return (np.ascontiguousarray(ta.astype(np.float32)),
-            np.ascontiguousarray(tb.astype(np.float32)))
+    return np.ascontiguousarray(tc.astype(np.float32))
 
 
 class Clusters(NamedTuple):
     s0: jax.Array        # (S, 4) p0.xyz, r0 — Morton-ordered, padded
     s1: jax.Array        # (S, 4) p1.xyz, r1
-    ta: jax.Array        # (C, 8, k) per-cluster kernel tiles (see _tiles)
-    tb: jax.Array        # (C, 8, k) — cluster select is a LEADING-axis
+    tc: jax.Array        # (C, 16, k) per-cluster kernel tiles (see
+                         #   _tiles) — cluster select is a LEADING-axis
                          #   dynamic index (lane-dim dynamic slices explode
                          #   Mosaic compile time; a flat (S, 4) layout pads
                          #   4 lanes -> 128, a 32x VMEM blowup)
@@ -69,7 +68,7 @@ class Clusters(NamedTuple):
 
 jax.tree_util.register_pytree_node(
     Clusters,
-    lambda c: ((c.s0, c.s1, c.ta, c.tb, c.cmin, c.cmax, c.seg_index),
+    lambda c: ((c.s0, c.s1, c.tc, c.cmin, c.cmax, c.seg_index),
                (c.n_clusters, c.cluster_size)),
     lambda aux, ch: Clusters(*ch, n_clusters=aux[0], cluster_size=aux[1]),
 )
@@ -81,11 +80,11 @@ def build(p0, p1, r0, r1, cluster_size=CLUSTER_SIZE, use_native=True):
         from ..accel import native
         out = native.build_clusters(p0, p1, r0, r1, cluster_size)
         if out is not None:
-            ta, tb = _tiles(out["s0"], out["s1"], out["n_clusters"],
-                            cluster_size)
+            tc = _tiles(out["s0"], out["s1"], out["n_clusters"],
+                        cluster_size)
             return Clusters(
                 s0=jnp.asarray(out["s0"]), s1=jnp.asarray(out["s1"]),
-                ta=jnp.asarray(ta), tb=jnp.asarray(tb),
+                tc=jnp.asarray(tc),
                 cmin=jnp.asarray(out["cmin"]), cmax=jnp.asarray(out["cmax"]),
                 seg_index=jnp.asarray(out["seg_index"]),
                 n_clusters=out["n_clusters"], cluster_size=cluster_size)
@@ -100,10 +99,10 @@ def build(p0, p1, r0, r1, cluster_size=CLUSTER_SIZE, use_native=True):
     cmax = np.where(bad[:, None], 4e30, cmax)
     s0 = np.concatenate([host.p0, host.r0[:, None]], 1).astype(np.float32)
     s1 = np.concatenate([host.p1, host.r1[:, None]], 1).astype(np.float32)
-    ta, tb = _tiles(s0, s1, int(host.n_leaves), cluster_size)
+    tc = _tiles(s0, s1, int(host.n_leaves), cluster_size)
     return Clusters(
         s0=jnp.asarray(s0), s1=jnp.asarray(s1),
-        ta=jnp.asarray(ta), tb=jnp.asarray(tb),
+        tc=jnp.asarray(tc),
         cmin=jnp.asarray(cmin), cmax=jnp.asarray(cmax),
         seg_index=jnp.asarray(host.seg_index),
         n_clusters=int(host.n_leaves), cluster_size=cluster_size)

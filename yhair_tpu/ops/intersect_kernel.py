@@ -86,19 +86,19 @@ def _block_cluster_lists(o, d, cl: Clusters, block):
     return order, counts
 
 
-def _segment_test(o, d, d_dot_o, ta, tb, t_cap):
+def _segment_test(o, d, d_dot_o, tc, t_cap):
     """Dense closest-approach test of a ray block against one cluster.
 
-    o, d: (block, 3); ta/tb: the cluster's precomputed (8, k) tiles
+    o, d: (block, 3); tc: the cluster's precomputed (16, k) tile
     (ops/clusters.py layout); t_cap: (block, 1) current upper bound.
     Returns (ok (block,k), s (block,k)).
     """
-    p0 = ta[0:3, :]
-    r0 = ta[3:4, :]
-    d2 = ta[4:7, :]
-    dr = ta[7:8, :]
-    c_seg = tb[0:1, :]
-    p0_d2 = tb[1:2, :]
+    p0 = tc[0:3, :]
+    r0 = tc[3:4, :]
+    d2 = tc[4:7, :]
+    dr = tc[7:8, :]
+    c_seg = tc[8:9, :]
+    p0_d2 = tc[9:10, :]
 
     # K=3 contractions as explicit outer-product sums (tiny-K matmuls
     # trigger Mosaic relayouts; the VPU form is cheap and fusion-friendly)
@@ -126,8 +126,8 @@ def _segment_test(o, d, d_dot_o, ta, tb, t_cap):
     return ok, s
 
 
-def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, ta_ref, tb_ref,
-                t_ref, idx_ref, *, cluster_size, block, k_cap):
+def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, tc_ref,
+                t_ref, idx_ref, *, cluster_size, block, k_cap, stream):
     b = pl.program_id(0)
     o = o_ref[:, :]              # (block, 3)
     d = d_ref[:, :]
@@ -139,35 +139,67 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, ta_ref, tb_ref,
     # list overflowed SMEM, so scan every cluster in order instead
     use_all = n_hit > k_cap
 
-    def body(i, carry):
-        t_best, idx_best = carry                          # (block,1) each
-        cid = jnp.where(use_all, i,
-                        ids_ref[b, jnp.minimum(i, k_cap - 1)])
-        ok, s = _segment_test(o, d, d_dot_o, ta_ref[cid], tb_ref[cid],
-                              t_best)
-        s_m = jnp.where(ok, s, 1e30)
-        j = jnp.argmin(s_m, axis=1)                        # (block,)
-        t_loc = jnp.min(s_m, axis=1)
-        better = t_loc < t_best[:, 0]
-        t_best = jnp.where(better[:, None], t_loc[:, None], t_best)
-        idx_new = cid * k + j.astype(jnp.int32)
-        idx_best = jnp.where(better[:, None], idx_new[:, None], idx_best)
-        return t_best, idx_best
+    def cid_of(i):
+        return jnp.where(use_all, i,
+                         ids_ref[b, jnp.minimum(i, k_cap - 1)])
 
-    # NOTE: an early-termination while_loop (stop when the next front-to-
-    # back cluster starts beyond max(t_best)) measured ~2x SLOWER here: a
-    # block almost always contains at least one miss ray whose t_best
-    # stays inf, so the exit never fires and the per-iteration cond is
-    # pure overhead. Plain fori wins for closest-hit.
-    init = (jnp.full((block, 1), 1e30, jnp.float32),
-            jnp.zeros((block, 1), jnp.int32))
-    t_best, idx_best = jax.lax.fori_loop(0, n_hit, body, init)
-    t_ref[:, :] = t_best
-    idx_ref[:, :] = idx_best
+    def run(get_tile):
+        def body(i, carry):
+            t_best, idx_best = carry                      # (block,1) each
+            cid = cid_of(i)
+            ok, s = _segment_test(o, d, d_dot_o, get_tile(i, cid), t_best)
+            s_m = jnp.where(ok, s, 1e30)
+            j = jnp.argmin(s_m, axis=1)                    # (block,)
+            t_loc = jnp.min(s_m, axis=1)
+            better = t_loc < t_best[:, 0]
+            t_best = jnp.where(better[:, None], t_loc[:, None], t_best)
+            idx_new = cid * k + j.astype(jnp.int32)
+            idx_best = jnp.where(better[:, None], idx_new[:, None],
+                                 idx_best)
+            return t_best, idx_best
+
+        # NOTE: an early-termination while_loop (stop when the next
+        # front-to-back cluster starts beyond max(t_best)) measured ~2x
+        # SLOWER here: a block almost always contains at least one miss
+        # ray whose t_best stays inf, so the exit never fires and the
+        # per-iteration cond is pure overhead. Plain fori wins.
+        init = (jnp.full((block, 1), 1e30, jnp.float32),
+                jnp.zeros((block, 1), jnp.int32))
+        t_best, idx_best = jax.lax.fori_loop(0, n_hit, body, init)
+        t_ref[:, :] = t_best
+        idx_ref[:, :] = idx_best
+
+    if not stream:
+        run(lambda i, cid: tc_ref[cid])
+        return
+
+    # STREAMING: tiles live in HBM; double-buffered DMA of the 16 x k
+    # cluster tile hides the copy behind the previous cluster's test.
+    def scoped(scratch, sem):
+        def dma(slot, i):
+            return pltpu.make_async_copy(tc_ref.at[cid_of(i)],
+                                         scratch.at[slot], sem.at[slot])
+
+        @pl.when(n_hit > 0)
+        def _():
+            dma(0, 0).start()
+
+        def get_tile(i, cid):
+            @pl.when(i + 1 < n_hit)
+            def _():
+                dma((i + 1) % 2, i + 1).start()
+            dma(i % 2, i).wait()
+            return scratch[i % 2]
+
+        run(get_tile)
+
+    pl.run_scoped(scoped,
+                  scratch=pltpu.VMEM((2, 16, cluster_size), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA((2,)))
 
 
-def _any_kernel(ids_ref, counts_ref, o_ref, d_ref, tcap_ref, ta_ref,
-                tb_ref, occ_ref, *, cluster_size, block, k_cap):
+def _any_kernel(ids_ref, counts_ref, o_ref, d_ref, tcap_ref, tc_ref,
+                occ_ref, *, cluster_size, block, k_cap, stream):
     b = pl.program_id(0)
     o = o_ref[:, :]
     d = d_ref[:, :]
@@ -177,39 +209,87 @@ def _any_kernel(ids_ref, counts_ref, o_ref, d_ref, tcap_ref, ta_ref,
     n_hit = counts_ref[b]
     use_all = n_hit > k_cap
 
-    # the carry holds occ as int32, not bool: Mosaic cannot legalize
-    # vector<i1> loop carries (scf.yield legalization failure on v5e)
-    def body(carry):
-        i, occ = carry
-        cid = jnp.where(use_all, i,
-                        ids_ref[b, jnp.minimum(i, k_cap - 1)])
-        ok, _ = _segment_test(o, d, d_dot_o, ta_ref[cid], tb_ref[cid],
-                              t_cap)
-        occ = jnp.maximum(occ,
-                          jnp.any(ok, axis=1, keepdims=True)
-                          .astype(jnp.int32))
-        return i + 1, occ
+    def cid_of(i):
+        return jnp.where(use_all, i,
+                         ids_ref[b, jnp.minimum(i, k_cap - 1)])
 
-    def cond(carry):
-        i, occ = carry
-        # shadow rays in dense hair mostly occlude in the first few
-        # front-to-back clusters: stop as soon as the whole block is dark
-        return (i < n_hit) & (jnp.min(occ) < 1)
+    def run(get_tile):
+        # the carry holds occ as int32, not bool: Mosaic cannot legalize
+        # vector<i1> loop carries (scf.yield legalization failure on v5e)
+        def body(carry):
+            i, occ = carry
+            cid = cid_of(i)
+            ok, _ = _segment_test(o, d, d_dot_o, get_tile(i, cid), t_cap)
+            occ = jnp.maximum(occ,
+                              jnp.any(ok, axis=1, keepdims=True)
+                              .astype(jnp.int32))
+            return i + 1, occ
 
-    _, occ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), jnp.zeros((block, 1), jnp.int32)))
-    occ_ref[:, :] = occ
+        def cond(carry):
+            i, occ = carry
+            # shadow rays in dense hair mostly occlude in the first few
+            # front-to-back clusters: stop once the whole block is dark
+            return (i < n_hit) & (jnp.min(occ) < 1)
+
+        return jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros((block, 1), jnp.int32)))
+
+    if not stream:
+        _, occ = run(lambda i, cid: tc_ref[cid])
+        occ_ref[:, :] = occ
+        return
+
+    def scoped(scratch, sem):
+        def dma(slot, i):
+            return pltpu.make_async_copy(tc_ref.at[cid_of(i)],
+                                         scratch.at[slot], sem.at[slot])
+
+        @pl.when(n_hit > 0)
+        def _():
+            dma(0, 0).start()
+
+        def get_tile(i, cid):
+            @pl.when(i + 1 < n_hit)
+            def _():
+                dma((i + 1) % 2, i + 1).start()
+            dma(i % 2, i).wait()
+            return scratch[i % 2]
+
+        i_f, occ = run(get_tile)
+        # early exit leaves the prefetched DMA for step i_f in flight
+        # (started by body i_f - 1, never waited): drain it so the
+        # semaphore is clean at kernel end
+        @pl.when(i_f < n_hit)
+        def _():
+            dma(i_f % 2, i_f).wait()
+
+        occ_ref[:, :] = occ
+
+    pl.run_scoped(scoped,
+                  scratch=pltpu.VMEM((2, 16, cluster_size), jnp.float32),
+                  sem=pltpu.SemaphoreType.DMA((2,)))
 
 
 def _k_cap(nb, c):
     return max(32, min(c, SMEM_IDS_BUDGET // max(nb * 4, 1)))
 
 
+# keep the cluster tiles VMEM-resident (zero in-loop DMA; revisits are
+# free) while they fit comfortably under the ~16 MB scoped-VMEM limit;
+# above it, stream per-cluster tiles from HBM with double-buffered DMA
+RESIDENT_TILE_BUDGET = 10 * 1024 * 1024
+
+
+def _use_stream(cl: Clusters):
+    return cl.tc.size * 4 > RESIDENT_TILE_BUDGET
+
+
 def _common_call(kernel, extra_in, extra_in_specs, out_shape, out_specs,
-                 o, d, cl, block, interpret, k_cap):
+                 o, d, cl, block, interpret, k_cap, stream):
     n = o.shape[0]
     nb = n // block
 
+    tile_space = pl.ANY if stream else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nb,),
@@ -219,8 +299,7 @@ def _common_call(kernel, extra_in, extra_in_specs, out_shape, out_specs,
             pl.BlockSpec((block, 3), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
             *extra_in_specs,
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # ta tiles (full)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tb tiles (full)
+            pl.BlockSpec(memory_space=tile_space),   # tc tiles (full)
         ],
         out_specs=out_specs,
     )
@@ -231,21 +310,27 @@ def _common_call(kernel, extra_in, extra_in_specs, out_shape, out_specs,
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
-    )(ids, counts, o, d, *extra_in, cl.ta, cl.tb)
+    )(ids, counts, o, d, *extra_in, cl.tc)
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("block", "interpret", "stream"))
+def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False,
+                stream=None):
     """Closest hit for a ray batch. o, d: (N, 3), N % block == 0.
 
     Returns (t, idx, hit): idx indexes the cluster-reordered segment SoA
     (cl.s0/s1 rows), matching geometry.Segments built from them.
+    stream: None = auto (tiles bigger than the VMEM budget stream from
+    HBM); True/False forces the variant.
     """
     n = o.shape[0]
     assert n % block == 0, f"rays {n} % block {block}"
     k_cap = _k_cap(n // block, cl.n_clusters)
+    if stream is None:
+        stream = _use_stream(cl)
     kernel = functools.partial(_hit_kernel, cluster_size=cl.cluster_size,
-                               block=block, k_cap=k_cap)
+                               block=block, k_cap=k_cap, stream=stream)
     t, idx = _common_call(
         kernel, (), (),
         [jax.ShapeDtypeStruct((n, 1), jnp.float32),
@@ -254,15 +339,17 @@ def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False):
                       memory_space=pltpu.VMEM),
          pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
                       memory_space=pltpu.VMEM)],
-        o, d, cl, block, interpret, k_cap)
+        o, d, cl, block, interpret, k_cap, stream)
     t = t[:, 0]
     idx = idx[:, 0]
     hit = t < INF
     return jnp.where(hit, t, INF), idx, hit
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False):
+@functools.partial(jax.jit,
+                   static_argnames=("block", "interpret", "stream"))
+def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False,
+            stream=None):
     """Occlusion query: True where some segment lies in (T_MIN, t_max).
 
     o, d: (N, 3); t_max: (N,). All-occluded blocks exit early.
@@ -270,8 +357,10 @@ def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False):
     n = o.shape[0]
     assert n % block == 0, f"rays {n} % block {block}"
     k_cap = _k_cap(n // block, cl.n_clusters)
+    if stream is None:
+        stream = _use_stream(cl)
     kernel = functools.partial(_any_kernel, cluster_size=cl.cluster_size,
-                               block=block, k_cap=k_cap)
+                               block=block, k_cap=k_cap, stream=stream)
     (occ,) = _common_call(
         kernel, (t_max.reshape(n, 1),),
         (pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
@@ -279,7 +368,7 @@ def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False):
         [jax.ShapeDtypeStruct((n, 1), jnp.int32)],
         [pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
                       memory_space=pltpu.VMEM)],
-        o, d, cl, block, interpret, k_cap)
+        o, d, cl, block, interpret, k_cap, stream)
     return occ[:, 0] > 0
 
 
@@ -294,21 +383,23 @@ def _pad_rays(o, d, block, extra=None):
     return o, d, extra, n
 
 
-def make_nearest_fn(cl: Clusters, block=BLOCK, interpret=False):
+def make_nearest_fn(cl: Clusters, block=BLOCK, interpret=False,
+                    stream=None):
     """Adapter for integrator.intersect_scene's nearest_segments hook.
     Pads the ray batch up to a block multiple when needed."""
     def fn(o, d):
         o, d, _, n = _pad_rays(o, d, block)
         t, idx, hit = nearest_hit(o, d, cl, block=block,
-                                  interpret=interpret)
+                                  interpret=interpret, stream=stream)
         return t[:n], idx[:n], hit[:n]
     return fn
 
 
-def make_occluded_fn(cl: Clusters, block=BLOCK, interpret=False):
+def make_occluded_fn(cl: Clusters, block=BLOCK, interpret=False,
+                     stream=None):
     """Occlusion adapter: fn(o, d, t_max) -> bool (N,)."""
     def fn(o, d, t_max):
         o, d, t_max, n = _pad_rays(o, d, block, t_max)
         return any_hit(o, d, t_max, cl, block=block,
-                       interpret=interpret)[:n]
+                       interpret=interpret, stream=stream)[:n]
     return fn
