@@ -229,6 +229,8 @@ def _intersect_scene(scene, o, d):
         best["t"] = np.where(closer, hs["t"], best["t"])
         best["mat"] = np.where(closer, 1, best["mat"])
         best["mat_id"] = np.where(closer, mat_id, best["mat_id"])
+        # planes are never lights: clear any sphere light_id they occlude
+        best["light_id"] = np.where(closer, -1, best["light_id"])
         for k in ("position", "normal"):
             best[k] = np.where(closer[:, None], hs[k], best[k])
         best["gnormal"] = np.where(closer[:, None], hs["normal"],

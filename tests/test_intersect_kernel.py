@@ -30,20 +30,25 @@ def _random_rays(rng, n, radius=2.0):
 
 
 def test_kernel_matches_bruteforce(setup):
+    """Kernel vs brute-force scan must agree EXACTLY: both use the same
+    per-axis f32 arithmetic and the same lexicographic (t, original id)
+    tie-break, so t is bitwise equal and the winning segment identical
+    even at strand-vertex junction ties."""
     sc, sc2, cl, nearest, _ = setup
     rng = np.random.default_rng(0)
     o, d = _random_rays(rng, 1024)
     t_k, idx_k, hit_k = nearest(o, d)
     # brute force over the SAME reordered segments for index comparability
-    t_b, idx_b, hit_b = seg.nearest_hit(o, d, sc2.segments, chunk=512)
+    t_b, idx_b, hit_b = seg.nearest_hit(o, d, sc2.segments, chunk=512,
+                                        ids=cl.seg_index)
 
     hit_k = np.asarray(hit_k)
     hit_b = np.asarray(hit_b)
     np.testing.assert_array_equal(hit_k, hit_b)
-    np.testing.assert_allclose(np.asarray(t_k)[hit_k],
-                               np.asarray(t_b)[hit_b], rtol=1e-5, atol=1e-6)
-    agree = (np.asarray(idx_k)[hit_k] == np.asarray(idx_b)[hit_b])
-    assert agree.mean() > 0.999
+    np.testing.assert_array_equal(np.asarray(t_k)[hit_k],
+                                  np.asarray(t_b)[hit_b])
+    np.testing.assert_array_equal(np.asarray(idx_k)[hit_k],
+                                  np.asarray(idx_b)[hit_b])
 
 
 def test_kernel_ray_padding(setup):
@@ -69,11 +74,11 @@ def test_kernel_render_parity(setup):
     img_k = np.asarray(jpath.render(sc2, cam, u, max_depth=3,
                                     nearest_segments=nearest))
     diff = np.abs(img_k - img_bf)
-    # identical geometry but different segment order: rare exact-tie flips
-    # diverge a few sample paths; the images must otherwise agree
+    # same per-axis arithmetic + (t, original id) tie-break in both paths:
+    # winners match even at junction ties, so the renders agree to noise
+    # (bit-exact on CPU; tiny atol headroom for platform FMA differences)
     assert np.isfinite(img_k).all()
-    assert np.quantile(diff, 0.99) < 1e-4
-    assert diff.mean() < 1e-5
+    assert diff.max() < 1e-5
 
 
 def test_any_hit_matches_nearest(setup):

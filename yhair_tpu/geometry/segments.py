@@ -60,55 +60,90 @@ def _closest_approach(o, d, p0, p1):
     o, d: (N, 1, 3) or (N, C, 3)-broadcastable; p0, p1: (..., 3).
     Returns (s ray-param, u segment-param in [0,1], dist2).
     """
+    # explicit per-axis forms, kept BIT-IDENTICAL to the Pallas kernel's
+    # ops/intersect_kernel.py:_segment_test — near-ties at strand-vertex
+    # junctions otherwise flip winners between the two paths (reduction
+    # order / FMA fusion differ between jnp.sum and unrolled sums)
     d2 = p1 - p0
-    w0 = o - p0
-    b = jnp.sum(d * d2, -1)
-    c = jnp.sum(d2 * d2, -1)
-    dd = jnp.sum(d * w0, -1)
-    e = jnp.sum(d2 * w0, -1)
+    w0 = [o[..., ax] - p0[..., ax] for ax in range(3)]
+    b = (d[..., 0] * d2[..., 0] + d[..., 1] * d2[..., 1]
+         + d[..., 2] * d2[..., 2])
+    c = (d2[..., 0] * d2[..., 0] + d2[..., 1] * d2[..., 1]
+         + d2[..., 2] * d2[..., 2])
+    dd = d[..., 0] * w0[0] + d[..., 1] * w0[1] + d[..., 2] * w0[2]
+    e = d2[..., 0] * w0[0] + d2[..., 1] * w0[1] + d2[..., 2] * w0[2]
     denom = jnp.maximum(c - b * b, 1e-12)
     u = jnp.clip((e - b * dd) / denom, 0.0, 1.0)
     s = b * u - dd
-    closest = p0 + u[..., None] * d2
-    off = o + s[..., None] * d - closest
-    return s, u, jnp.sum(off * off, -1)
+    off0 = (o[..., 0] + s * d[..., 0]) - (p0[..., 0] + u * d2[..., 0])
+    off1 = (o[..., 1] + s * d[..., 1]) - (p0[..., 1] + u * d2[..., 1])
+    off2 = (o[..., 2] + s * d[..., 2]) - (p0[..., 2] + u * d2[..., 2])
+    return s, u, off0 * off0 + off1 * off1 + off2 * off2
 
 
-def nearest_hit(o, d, segs: Segments, t_min=1e-4, t_max=INF, chunk=2048):
+_BIG_ID = jnp.int32(2**31 - 1)
+
+
+def nearest_hit(o, d, segs: Segments, t_min=1e-4, t_max=INF, chunk=2048,
+                ids=None):
     """Closest hit over all segments via a chunked scan.
 
     o, d: (N, 3). Returns (t (N,), idx (N,) int32, hit (N,) bool).
+    ids (S,) int32: optional tie-break keys — among bitwise-equal
+    nearest t the segment with the smallest id wins (the Pallas kernel
+    applies the same rule with original segment ids, so passing the
+    cluster seg_index here makes the two paths agree exactly even on
+    exact junction ties). Default arange order = lowest index wins,
+    matching the pre-existing behavior.
     """
+    s_total_raw = segs.p0.shape[0]
     segs = segs.padded(chunk)
     s_total = segs.p0.shape[0]
     n_chunks = s_total // chunk
+    if ids is None:
+        ids = jnp.arange(s_total, dtype=jnp.int32)
+    else:
+        ids = jnp.where(jnp.asarray(ids, jnp.int32) < 0, _BIG_ID,
+                        jnp.asarray(ids, jnp.int32))
+        pad = s_total - s_total_raw
+        if pad:
+            ids = jnp.concatenate([ids, jnp.full((pad,), _BIG_ID,
+                                                 jnp.int32)])
     p0 = segs.p0.reshape(n_chunks, chunk, 3)
     p1 = segs.p1.reshape(n_chunks, chunk, 3)
     r0 = segs.r0.reshape(n_chunks, chunk)
     r1 = segs.r1.reshape(n_chunks, chunk)
+    cid = ids.reshape(n_chunks, chunk)
 
     o_b = o[:, None, :]
     d_b = d[:, None, :]
     n = o.shape[0]
 
     def body(carry, xs):
-        best_t, best_i = carry
-        cp0, cp1, cr0, cr1, base = xs
+        best_t, best_i, best_id = carry
+        cp0, cp1, cr0, cr1, base, ci = xs
         s, u, dist2 = _closest_approach(o_b, d_b, cp0[None], cp1[None])
         r = cr0[None] + (cr1 - cr0)[None] * u
         ok = (dist2 <= r * r) & (s > t_min) & (s < t_max)
         s = jnp.where(ok, s, INF)
-        i_local = jnp.argmin(s, axis=-1)
-        t_local = jnp.take_along_axis(s, i_local[:, None], axis=-1)[:, 0]
-        closer = t_local < best_t
+        t_local = jnp.min(s, axis=-1)
+        # lexicographic (t, id): among lanes tied at t_local take min id
+        idm = jnp.where(s == t_local[:, None], ci[None], _BIG_ID)
+        i_local = jnp.argmin(idm, axis=-1)
+        id_local = jnp.min(idm, axis=-1)
+        has = t_local < INF
+        closer = (t_local < best_t) | (
+            has & (t_local == best_t) & (id_local < best_id))
         best_t = jnp.where(closer, t_local, best_t)
         best_i = jnp.where(closer, base + i_local.astype(jnp.int32), best_i)
-        return (best_t, best_i), None
+        best_id = jnp.where(closer, id_local, best_id)
+        return (best_t, best_i, best_id), None
 
     bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (t, idx), _ = jax.lax.scan(
-        body, (jnp.full((n,), INF), jnp.zeros((n,), jnp.int32)),
-        (p0, p1, r0, r1, bases))
+    (t, idx, _), _ = jax.lax.scan(
+        body, (jnp.full((n,), INF), jnp.zeros((n,), jnp.int32),
+               jnp.full((n,), _BIG_ID)),
+        (p0, p1, r0, r1, bases, cid))
     return t, idx, t < INF
 
 

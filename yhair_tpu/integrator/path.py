@@ -133,6 +133,8 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
         pn = scene.pln_normal[i_p]
         normal = jnp.where(closer[:, None], pn, normal)
         gnormal = jnp.where(closer[:, None], pn, gnormal)
+        # planes are never lights: clear any sphere light_id they occlude
+        light_id = jnp.where(closer, -1, light_id)
 
     if scene.n_triangles:
         t_t, i_t, hit_t = tri.nearest_hit(o, d, scene.tris, chunk=chunk)

@@ -30,23 +30,28 @@ from ..accel import lbvh
 CLUSTER_SIZE = 128
 
 
-def _tiles(s0, s1, n_clusters, k):
+def _tiles(s0, s1, seg_index, n_clusters, k):
     """Precomputed per-cluster kernel tiles from the (S, 4) endpoint SoA.
 
     tc (C, 16, k): p0.xyz, r0, d2.xyz (= p1 - p0), dr (= r1 - r0),
-    |d2|^2, p0.d2, 6 zero rows (16 sublanes = two aligned (8, 128) f32
-    tiles — both the VMEM-resident layout and the per-cluster DMA unit).
-    Precomputing d2/|d2|^2/p0.d2 here removes ~10 VPU ops per cluster
-    visit from the kernel's inner loop.
+    |d2|^2, original segment id (f32 — exact below 2^24; used for the
+    deterministic min-(t, id) tie-break at strand-vertex junctions),
+    6 zero rows (16 sublanes = two aligned (8, 128) f32 tiles — both the
+    VMEM-resident layout and the per-cluster DMA unit). Precomputing
+    d2/|d2|^2 here removes VPU ops per cluster visit.
     """
+    assert s0.shape[0] < (1 << 24), "f32 tie-break ids need S < 2^24"
     a0 = s0.reshape(n_clusters, k, 4).transpose(0, 2, 1)   # (C, 4, k)
     a1 = s1.reshape(n_clusters, k, 4).transpose(0, 2, 1)
     p0 = a0[:, :3]
     d2 = a1[:, :3] - p0
     c_seg = (d2 * d2).sum(1, keepdims=True)
-    p0_d2 = (p0 * d2).sum(1, keepdims=True)
+    # padding lanes (seg_index == -1) get a huge id so they lose ties
+    oid = np.where(seg_index < 0, np.float32(3e30),
+                   seg_index.astype(np.float32))
+    oid = oid.reshape(n_clusters, 1, k)
     tc = np.concatenate([p0, a0[:, 3:4], d2, a1[:, 3:4] - a0[:, 3:4],
-                         c_seg, p0_d2,
+                         c_seg, oid,
                          np.zeros((n_clusters, 6, k), np.float32)], axis=1)
     return np.ascontiguousarray(tc.astype(np.float32))
 
@@ -80,8 +85,8 @@ def build(p0, p1, r0, r1, cluster_size=CLUSTER_SIZE, use_native=True):
         from ..accel import native
         out = native.build_clusters(p0, p1, r0, r1, cluster_size)
         if out is not None:
-            tc = _tiles(out["s0"], out["s1"], out["n_clusters"],
-                        cluster_size)
+            tc = _tiles(out["s0"], out["s1"], out["seg_index"],
+                        out["n_clusters"], cluster_size)
             return Clusters(
                 s0=jnp.asarray(out["s0"]), s1=jnp.asarray(out["s1"]),
                 tc=jnp.asarray(tc),
@@ -99,7 +104,7 @@ def build(p0, p1, r0, r1, cluster_size=CLUSTER_SIZE, use_native=True):
     cmax = np.where(bad[:, None], 4e30, cmax)
     s0 = np.concatenate([host.p0, host.r0[:, None]], 1).astype(np.float32)
     s1 = np.concatenate([host.p1, host.r1[:, None]], 1).astype(np.float32)
-    tc = _tiles(s0, s1, int(host.n_leaves), cluster_size)
+    tc = _tiles(s0, s1, host.seg_index, int(host.n_leaves), cluster_size)
     return Clusters(
         s0=jnp.asarray(s0), s1=jnp.asarray(s1),
         tc=jnp.asarray(tc),

@@ -86,44 +86,47 @@ def _block_cluster_lists(o, d, cl: Clusters, block):
     return order, counts
 
 
-def _segment_test(o, d, d_dot_o, tc, t_cap):
+def _segment_test(o, d, tc, t_cap):
     """Dense closest-approach test of a ray block against one cluster.
 
     o, d: (block, 3); tc: the cluster's precomputed (16, k) tile
     (ops/clusters.py layout); t_cap: (block, 1) current upper bound.
-    Returns (ok (block,k), s (block,k)).
+    Returns (ok (block,k), s (block,k), oid (1,k) original segment ids).
+
+    The arithmetic here is kept FORM-IDENTICAL to the portable
+    geometry/segments.py:_closest_approach (w0 = o - p0 first, then the
+    three dot products, subtract-then-square distance): near-ties at
+    strand-vertex junctions otherwise flip winners between the kernel
+    and the brute-force/autodiff path and diverge whole sample paths.
+    Inclusive `s <= t_cap` admits equal-t candidates so the (t, id)
+    tie-break in the caller stays deterministic across cluster order.
     """
     p0 = tc[0:3, :]
     r0 = tc[3:4, :]
     d2 = tc[4:7, :]
     dr = tc[7:8, :]
     c_seg = tc[8:9, :]
-    p0_d2 = tc[9:10, :]
+    oid = tc[9:10, :]
 
     # K=3 contractions as explicit outer-product sums (tiny-K matmuls
     # trigger Mosaic relayouts; the VPU form is cheap and fusion-friendly)
+    w0 = [o[:, ax:ax + 1] - p0[ax:ax + 1, :] for ax in range(3)]
     B = (d[:, 0:1] * d2[0:1, :] + d[:, 1:2] * d2[1:2, :]
          + d[:, 2:3] * d2[2:3, :])
-    o_d2 = (o[:, 0:1] * d2[0:1, :] + o[:, 1:2] * d2[1:2, :]
-            + o[:, 2:3] * d2[2:3, :])
-    d_p0 = (d[:, 0:1] * p0[0:1, :] + d[:, 1:2] * p0[1:2, :]
-            + d[:, 2:3] * p0[2:3, :])
-
-    dd = d_dot_o - d_p0                                # d . w0
-    e = o_d2 - p0_d2                                   # d2 . w0
+    dd = (d[:, 0:1] * w0[0] + d[:, 1:2] * w0[1] + d[:, 2:3] * w0[2])
+    e = (d2[0:1, :] * w0[0] + d2[1:2, :] * w0[1] + d2[2:3, :] * w0[2])
     denom = jnp.maximum(c_seg - B * B, 1e-12)
     u = jnp.clip((e - B * dd) / denom, 0.0, 1.0)
     s = B * u - dd
     # distance per axis, subtract-then-square: the expanded quadratic
     # form cancels catastrophically in f32 at hair radii (~1e-3)
-    dist2 = jnp.zeros_like(u)
-    for ax in range(3):
-        off = ((o[:, ax:ax + 1] - p0[ax:ax + 1, :])
-               + s * d[:, ax:ax + 1] - u * d2[ax:ax + 1, :])
-        dist2 = dist2 + off * off
+    off0 = (o[:, 0:1] + s * d[:, 0:1]) - (p0[0:1, :] + u * d2[0:1, :])
+    off1 = (o[:, 1:2] + s * d[:, 1:2]) - (p0[1:2, :] + u * d2[1:2, :])
+    off2 = (o[:, 2:3] + s * d[:, 2:3]) - (p0[2:3, :] + u * d2[2:3, :])
+    dist2 = off0 * off0 + off1 * off1 + off2 * off2
     r = r0 + dr * u
-    ok = (dist2 <= r * r) & (s > T_MIN) & (s < t_cap)
-    return ok, s
+    ok = (dist2 <= r * r) & (s > T_MIN) & (s <= t_cap)
+    return ok, s, oid
 
 
 def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, tc_ref,
@@ -132,7 +135,6 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, tc_ref,
     o = o_ref[:, :]              # (block, 3)
     d = d_ref[:, :]
     k = cluster_size
-    d_dot_o = jnp.sum(d * o, axis=1, keepdims=True)       # (block, 1)
 
     n_hit = counts_ref[b]
     # counts > k_cap are encoded as n_clusters (sentinel): the block's
@@ -145,18 +147,28 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, tc_ref,
 
     def run(get_tile):
         def body(i, carry):
-            t_best, idx_best = carry                      # (block,1) each
+            t_best, idx_best, oid_best = carry            # (block,1) each
             cid = cid_of(i)
-            ok, s = _segment_test(o, d, d_dot_o, get_tile(i, cid), t_best)
+            ok, s, oid = _segment_test(o, d, get_tile(i, cid), t_best)
             s_m = jnp.where(ok, s, 1e30)
-            j = jnp.argmin(s_m, axis=1)                    # (block,)
-            t_loc = jnp.min(s_m, axis=1)
-            better = t_loc < t_best[:, 0]
+            t_loc = jnp.min(s_m, axis=1)                   # (block,)
+            # among lanes tied at t_loc, pick the smallest ORIGINAL id:
+            # deterministic winner at strand-vertex junctions regardless
+            # of Morton/cluster visit order (matches the brute-force scan
+            # over original-order segments)
+            oid_m = jnp.where(s_m == t_loc[:, None], oid, 3.3e38)
+            j = jnp.argmin(oid_m, axis=1)                  # (block,)
+            oid_loc = jnp.min(oid_m, axis=1)
+            has = t_loc < 1e30
+            better = (t_loc < t_best[:, 0]) | (
+                has & (t_loc == t_best[:, 0]) & (oid_loc < oid_best[:, 0]))
             t_best = jnp.where(better[:, None], t_loc[:, None], t_best)
             idx_new = cid * k + j.astype(jnp.int32)
             idx_best = jnp.where(better[:, None], idx_new[:, None],
                                  idx_best)
-            return t_best, idx_best
+            oid_best = jnp.where(better[:, None], oid_loc[:, None],
+                                 oid_best)
+            return t_best, idx_best, oid_best
 
         # NOTE: an early-termination while_loop (stop when the next
         # front-to-back cluster starts beyond max(t_best)) measured ~2x
@@ -164,8 +176,9 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, tc_ref,
         # ray whose t_best stays inf, so the exit never fires and the
         # per-iteration cond is pure overhead. Plain fori wins.
         init = (jnp.full((block, 1), 1e30, jnp.float32),
-                jnp.zeros((block, 1), jnp.int32))
-        t_best, idx_best = jax.lax.fori_loop(0, n_hit, body, init)
+                jnp.zeros((block, 1), jnp.int32),
+                jnp.full((block, 1), 3.4e38, jnp.float32))
+        t_best, idx_best, _ = jax.lax.fori_loop(0, n_hit, body, init)
         t_ref[:, :] = t_best
         idx_ref[:, :] = idx_best
 
@@ -204,7 +217,6 @@ def _any_kernel(ids_ref, counts_ref, o_ref, d_ref, tcap_ref, tc_ref,
     o = o_ref[:, :]
     d = d_ref[:, :]
     t_cap = tcap_ref[:, :]                                # (block, 1)
-    d_dot_o = jnp.sum(d * o, axis=1, keepdims=True)
 
     n_hit = counts_ref[b]
     use_all = n_hit > k_cap
@@ -219,7 +231,7 @@ def _any_kernel(ids_ref, counts_ref, o_ref, d_ref, tcap_ref, tc_ref,
         def body(carry):
             i, occ = carry
             cid = cid_of(i)
-            ok, _ = _segment_test(o, d, d_dot_o, get_tile(i, cid), t_cap)
+            ok, _, _ = _segment_test(o, d, get_tile(i, cid), t_cap)
             occ = jnp.maximum(occ,
                               jnp.any(ok, axis=1, keepdims=True)
                               .astype(jnp.int32))
