@@ -37,6 +37,9 @@ def main():
     # the remote Mosaic (Pallas) compiler needs the accelerator type
     os.environ.setdefault("TPU_ACCELERATOR_TYPE", "v5litepod-1")
 
+    from yhair_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from scenes.generators import curly_hairball
     from yhair_tpu.core import scene as jscene
     from yhair_tpu.ops import build_scene_clusters

