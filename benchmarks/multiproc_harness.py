@@ -1,0 +1,158 @@
+"""Multi-process (multi-host) correctness harness (VERDICT r1 missing #2).
+
+Real multi-chip hardware is unavailable here, so the multi-host code path
+(`jax.distributed.initialize` + a global mesh spanning processes + psum'd
+gradients over DCN) is proven on CPU: N processes x K virtual devices each
+form one N*K-device global mesh, run ONE sharded inverse-rendering step,
+and every process must produce gradients bit-identical to a single-process
+run over the same global ray set (the RNG is counter-based per (pixel,
+sample), so the partition cannot change the math — SURVEY.md §5).
+
+Usage:
+  python benchmarks/multiproc_harness.py launch [--nproc 2] [--local 4]
+      spawns workers, runs the single-process reference, compares, prints
+      PASS/FAIL and a JSON summary line.
+  (internal) ... worker --nproc N --proc I --local K --out FILE
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+W = H = 16
+SPP = 2
+DEPTH = 2
+PORT = 12357
+
+
+def _build_problem():
+    import jax
+    import jax.numpy as jnp
+
+    from scenes.generators import single_strand
+    from yhair_tpu.core import scene as jscene
+
+    scene_d, cam_d = single_strand(n_seg=8)
+    sc = jscene.from_dict(scene_d)
+    cam = jscene.camera_from_dict(cam_d)
+    params = {"beta_m": jnp.float32(0.4), "beta_n": jnp.float32(0.45),
+              "sigma_a": jnp.asarray([0.15, 0.2, 0.3], jnp.float32)}
+    return sc, cam, params
+
+
+def _grads(mesh):
+    """One value_and_grad of the sharded MSE loss on the global mesh."""
+    import jax
+    import optax
+
+    from yhair_tpu.parallel import mesh as pmesh
+
+    sc, cam, params = _build_problem()
+    opt = optax.adam(1e-2)
+    target_fn = pmesh.render_fn(width=W, height=H, spp=SPP,
+                                max_depth=DEPTH, mesh=mesh)
+    target = target_fn(sc, cam, jax.random.key(0))
+    step = pmesh.train_step_fn(width=W, height=H, spp=SPP, max_depth=DEPTH,
+                               mesh=mesh, optimizer=opt)
+    state = opt.init(params)
+    _p, _s, loss, grads = step(params, state, sc, cam, target,
+                               jax.random.key(1))
+    return float(loss), jax.tree.map(
+        lambda g: __import__("numpy").asarray(g), grads)
+
+
+def worker(nproc, proc, local, out):
+    # XLA_FLAGS must already be in the environment (set at spawn); the
+    # platform must additionally go through jax.config because this
+    # image's sitecustomize force-registers the axon backend via config,
+    # which outranks the JAX_PLATFORMS env var (same dance as
+    # __graft_entry__.dryrun_multichip)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
+                               num_processes=nproc, process_id=proc)
+    assert jax.process_count() == nproc
+    assert len(jax.devices()) == nproc * local, (
+        f"global devices {len(jax.devices())} != {nproc * local}")
+    from yhair_tpu.parallel import mesh as pmesh
+
+    mesh = pmesh.make_mesh(jax.devices())
+    loss, grads = _grads(mesh)
+    if proc == 0:
+        import numpy as np
+
+        np.savez(out, loss=loss, **grads)
+    jax.distributed.shutdown()
+
+
+def _spawn(nproc, local, out):
+    procs = []
+    for i in range(nproc):
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={local}")
+        procs.append(subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "worker",
+             "--nproc", str(nproc), "--proc", str(i),
+             "--local", str(local), "--out", out],
+            env=env, cwd=REPO))
+    return [p.wait(timeout=900) for p in procs]
+
+
+def launch(nproc, local):
+    tmp = tempfile.mkdtemp()
+    out_multi = os.path.join(tmp, "multi.npz")
+    out_single = os.path.join(tmp, "single.npz")
+    codes = _spawn(nproc, local, out_multi)
+    # single-process reference over the same global device count (run as
+    # a subprocess too: sitecustomize imports jax before main(), so this
+    # process cannot re-configure its own backend)
+    codes += _spawn(1, nproc * local, out_single)
+    if any(codes):
+        print(json.dumps({"harness": "multiproc", "ok": False,
+                          "exit_codes": codes}))
+        sys.exit(1)
+
+    import numpy as np
+
+    multi = np.load(out_multi)
+    single = np.load(out_single)
+    ok = abs(float(single["loss"]) - float(multi["loss"])) < 1e-7
+    detail = {"loss_single": float(single["loss"]),
+              "loss_multi": float(multi["loss"])}
+    for k in ("beta_m", "beta_n", "sigma_a"):
+        diff = float(np.max(np.abs(single[k] - multi[k])))
+        detail[f"max|d{k}|"] = diff
+        ok = ok and diff < 1e-6
+    print(json.dumps({"harness": "multiproc", "nproc": nproc,
+                      "local_devices": local, "ok": bool(ok), **detail}))
+    sys.exit(0 if ok else 1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["launch", "worker"])
+    ap.add_argument("--nproc", type=int, default=2)
+    ap.add_argument("--local", type=int, default=4)
+    ap.add_argument("--proc", type=int, default=0)
+    ap.add_argument("--out", default="")
+    a = ap.parse_args()
+    if a.mode == "worker":
+        worker(a.nproc, a.proc, a.local, a.out)
+    else:
+        launch(a.nproc, a.local)
+
+
+if __name__ == "__main__":
+    main()

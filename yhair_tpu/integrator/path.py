@@ -380,6 +380,10 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         h = hs.h
         pos = hs.position
         ray_eps = jnp.where(is_hair, 2.0 * hs.radius, 1e-4)
+        # wi-independent BSDF work (refraction geometry, attenuation
+        # chain, roughness remaps, tilted angles) computed ONCE and shared
+        # by every NEE direction + the bounce sample (4-6 evals/bounce)
+        hctx = jh.hair_ctx(scene.hair, h, wo)
 
         # direct lighting: every point light, deterministic sum
         for li in range(scene.n_lights if use_nee else 0):
@@ -393,7 +397,7 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                                   chunk=chunk,
                                   nearest_segments=nearest_segments)
             wi = _to_local(wi_w, fx, fy, fz)
-            f_hair = jh.hair_f(scene.hair, h, wo, wi) * jnp.abs(wi[:, 2:3])
+            f_hair = jh.hair_f_ctx(hctx, wi) * jnp.abs(wi[:, 2:3])
             f_surf = js.surface_f(sp, wo, wi) * jnp.abs(wi[:, 2:3])
             f = jnp.where(is_hair[:, None], f_hair, f_surf)
             contrib = beta * f * lint / jnp.maximum(dist[:, None] ** 2,
@@ -409,12 +413,13 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                                   chunk=chunk,
                                   nearest_segments=nearest_segments)
             wi = _to_local(wi_w, fx, fy, fz)
-            f_hair = jh.hair_f(scene.hair, h, wo, wi) * jnp.abs(wi[:, 2:3])
+            fp_hair, pdf_hair = jh.hair_f_pdf_ctx(hctx, wi)
+            f_hair = fp_hair * jnp.abs(wi[:, 2:3])
             f_surf = js.surface_f(sp, wo, wi) * jnp.abs(wi[:, 2:3])
             f = jnp.where(is_hair[:, None], f_hair, f_surf)
             pdf_b = jnp.where(
                 is_hair,
-                jax.lax.stop_gradient(jh.hair_pdf(scene.hair, h, wo, wi)),
+                jax.lax.stop_gradient(pdf_hair),
                 jax.lax.stop_gradient(js.surface_pdf(sp, wo, wi)))
             w_mis = pdf_e ** 2 / jnp.maximum(pdf_e ** 2 + pdf_b ** 2,
                                              1e-30)
@@ -439,12 +444,13 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                                   dist - 2.0 * ray_eps, chunk=chunk,
                                   nearest_segments=nearest_segments)
             wi = _to_local(wi_w, fx, fy, fz)
-            f_hair = jh.hair_f(scene.hair, h, wo, wi) * jnp.abs(wi[:, 2:3])
+            fp_hair, pdf_hair = jh.hair_f_pdf_ctx(hctx, wi)
+            f_hair = fp_hair * jnp.abs(wi[:, 2:3])
             f_surf = js.surface_f(sp, wo, wi) * jnp.abs(wi[:, 2:3])
             f = jnp.where(is_hair[:, None], f_hair, f_surf)
             pdf_b = jnp.where(
                 is_hair,
-                jax.lax.stop_gradient(jh.hair_pdf(scene.hair, h, wo, wi)),
+                jax.lax.stop_gradient(pdf_hair),
                 jax.lax.stop_gradient(js.surface_pdf(sp, wo, wi)))
             w_mis = pdf_a ** 2 / jnp.maximum(pdf_a ** 2 + pdf_b ** 2,
                                              1e-30)
@@ -454,11 +460,10 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                 w_mis / jnp.maximum(pdf_a, 1e-12))[:, None]
             L = L + jnp.where(ok[:, None], contrib, 0.0)
 
-        # BSDF sampling (detached directions)
-        wi_h, f_h, pdf_h = jh.hair_sample(
-            scene.hair, h, jax.lax.stop_gradient(wo), ub[:, :4])
-        wi_h = jax.lax.stop_gradient(wi_h)
-        f_h = jh.hair_f(scene.hair, h, wo, wi_h)  # re-eval: carries grad
+        # BSDF sampling (detached directions: wi and pdf are detached at
+        # use, so sampling from the live ctx gives identical values)
+        wi_h = jax.lax.stop_gradient(jh.hair_sample_wi(hctx, ub[:, :4]))
+        f_h, pdf_h = jh.hair_f_pdf_ctx(hctx, wi_h)  # f carries grad
         pdf_h = jax.lax.stop_gradient(pdf_h)
         w_hair = f_h * jnp.abs(wi_h[:, 2:3]) / jnp.maximum(pdf_h[:, None],
                                                            1e-12)
