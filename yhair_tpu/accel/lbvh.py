@@ -85,8 +85,47 @@ def _skip_indices(n_total):
     return skip
 
 
-def build(p0, p1, r0, r1, leaf_size=4):
-    """Build the LBVH. Inputs: (S, 3) endpoints, (S,) radii (any float)."""
+def _median_split_order(centroid, n_leaves, K):
+    """Recursive longest-axis median split into K-sized leaves.
+
+    Returns a permutation of segment indices such that leaf l holds
+    order[l*K:(l+1)*K] AND the implicit heap's internal nodes coincide
+    with the split hierarchy (each split puts exactly (n_lv//2)*K
+    elements left, so subtree -> contiguous range -> heap node).
+
+    Why not Morton runs: packing 128 consecutive Morton codes gives
+    ragged cluster AABBs that overlap badly in dense hair — measured on
+    the 10k-strand hairball, ~76 cluster boxes contain a typical
+    interior point's entry interval. Median splits cut that roughly in
+    half, which directly scales the Pallas kernel's cluster-visit count.
+    Deterministic (stable sort by coordinate), so a native builder can
+    reproduce it bit-identically with std::stable_sort.
+    """
+    s = centroid.shape[0]
+    order = np.arange(s, dtype=np.int64)
+    stack = [(0, s, n_leaves)]
+    while stack:
+        lo, hi, n_lv = stack.pop()
+        if n_lv <= 1 or hi - lo <= K:
+            continue
+        seg = order[lo:hi]
+        c = centroid[seg]
+        ax = int(np.argmax(c.max(0) - c.min(0)))
+        srt = np.argsort(c[:, ax], kind="stable")
+        order[lo:hi] = seg[srt]
+        left = min(hi - lo, (n_lv // 2) * K)
+        stack.append((lo, lo + left, n_lv // 2))
+        stack.append((lo + left, hi, n_lv - n_lv // 2))
+    return order.astype(np.int32)
+
+
+def build(p0, p1, r0, r1, leaf_size=4, method="median"):
+    """Build the LBVH. Inputs: (S, 3) endpoints, (S,) radii (any float).
+
+    method: "median" (longest-axis median splits — tighter leaf boxes,
+    the default) or "morton" (Morton-sorted runs — matches the native
+    C++ builder's layout).
+    """
     p0 = np.asarray(p0, np.float64)
     p1 = np.asarray(p1, np.float64)
     r0 = np.asarray(r0, np.float64)
@@ -100,13 +139,15 @@ def build(p0, p1, r0, r1, leaf_size=4):
     bmax = np.maximum(p0 + r0[:, None], p1 + r1[:, None])
     centroid = 0.5 * (bmin + bmax)
 
-    lo = centroid.min(0)
-    span = np.maximum(centroid.max(0) - lo, 1e-12)
-    unit = (centroid - lo) / span
-    codes = morton3(unit[:, 0], unit[:, 1], unit[:, 2])
-    order = np.argsort(codes, kind="stable").astype(np.int32)
-
     n_leaves = max(1, 1 << int(np.ceil(np.log2(max(1, (s + K - 1) // K)))))
+    if method == "median":
+        order = _median_split_order(centroid, n_leaves, K)
+    else:
+        lo = centroid.min(0)
+        span = np.maximum(centroid.max(0) - lo, 1e-12)
+        unit = (centroid - lo) / span
+        codes = morton3(unit[:, 0], unit[:, 1], unit[:, 2])
+        order = np.argsort(codes, kind="stable").astype(np.int32)
     padded = n_leaves * K
 
     def gather_pad(a, fill):

@@ -37,6 +37,9 @@ def _lib():
     lib.yh_build_clusters.argtypes = [
         f32p, f32p, f32p, f32p, ctypes.c_int64, ctypes.c_int64,
         f32p, f32p, f32p, f32p, i32p]
+    if hasattr(lib, "yh_build_clusters_median"):
+        lib.yh_build_clusters_median.restype = ctypes.c_int
+        lib.yh_build_clusters_median.argtypes = lib.yh_build_clusters.argtypes
     _LIB = lib
     return lib
 
@@ -45,11 +48,20 @@ def available() -> bool:
     return _lib() is not None
 
 
-def build_clusters(p0, p1, r0, r1, cluster_size=128):
+def build_clusters(p0, p1, r0, r1, cluster_size=128, method="median"):
     """Native cluster build. Returns dict of arrays matching
-    ops.clusters.build's layout, or None if the library is unavailable."""
+    ops.clusters.build's layout, or None if the library is unavailable
+    (or doesn't implement `method`)."""
     lib = _lib()
     if lib is None:
+        return None
+    if method == "median":
+        if not hasattr(lib, "yh_build_clusters_median"):
+            return None
+        fn = lib.yh_build_clusters_median
+    elif method == "morton":
+        fn = lib.yh_build_clusters
+    else:
         return None
     p0 = np.ascontiguousarray(p0, np.float32)
     p1 = np.ascontiguousarray(p1, np.float32)
@@ -63,10 +75,10 @@ def build_clusters(p0, p1, r0, r1, cluster_size=128):
     cmin = np.empty((c, 3), np.float32)
     cmax = np.empty((c, 3), np.float32)
     seg_index = np.empty(padded, np.int32)
-    rc = lib.yh_build_clusters(p0, p1, r0, r1, n, cluster_size,
-                               s0, s1, cmin, cmax, seg_index)
+    rc = fn(p0, p1, r0, r1, n, cluster_size,
+            s0, s1, cmin, cmax, seg_index)
     if rc != 0:
-        raise RuntimeError(f"yh_build_clusters failed with {rc}")
+        raise RuntimeError(f"native cluster build ({method}) failed: {rc}")
     return {"s0": s0, "s1": s1, "cmin": cmin, "cmax": cmax,
             "seg_index": seg_index, "n_clusters": c,
             "cluster_size": cluster_size}

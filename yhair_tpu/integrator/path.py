@@ -229,6 +229,47 @@ def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
     return occ
 
 
+def _morton_spread3(x):
+    """Spread the low 10 bits of x so consecutive bits land 3 apart."""
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _ray_sort_perm(o, d, alive, lo, inv_ext):
+    """Coherence permutation for a wavefront bounce.
+
+    The cluster kernel tests each 128-ray BLOCK against the union of the
+    clusters any of its rays touch; after one bounce the rays of a block
+    scatter over the whole asset and that union explodes (measured on the
+    10k-strand hairball: mean clusters/block 36 for camera rays vs 518
+    for bounce-1 rays — 14x the kernel work). Sorting the wavefront by
+    (Morton cell of origin, direction octant) every bounce restores
+    block coherence. Dead rays sort to the back, so their blocks hit
+    zero clusters and the kernel loop over them is empty.
+
+    Per-ray hit results are invariant to block composition (the (t, id)
+    lexicographic tie-break is visit-order independent), so sorted and
+    unsorted renders are bit-identical.
+    """
+    q = jnp.clip((o - lo) * inv_ext, 0.0, 1.0)
+    cell = (q * 1023.0).astype(jnp.int32)          # 10 bits/axis
+    m = ((_morton_spread3(cell[:, 0]) << 2)
+         | (_morton_spread3(cell[:, 1]) << 1)
+         | _morton_spread3(cell[:, 2]))
+    # position-major key: the top 18 Morton bits (6/axis), then the
+    # direction octant — origin locality dominates which clusters a ray
+    # can touch; octant breaks ties within a cell
+    key = ((m >> 12) << 3) | (
+        (d[:, 0] > 0).astype(jnp.int32)
+        + 2 * (d[:, 1] > 0).astype(jnp.int32)
+        + 4 * (d[:, 2] > 0).astype(jnp.int32))
+    key = jnp.where(alive, key, jnp.int32(1) << 29)
+    return jnp.argsort(key)
+
+
 def _area_light_point(scene: Scene, el, u0, u1):
     """Sample a point on area-light element `el` — mirrors
     oracle/pathtrace.py:_area_light_point. -> (point, normal)."""
@@ -305,13 +346,16 @@ def trace_eyelight(scene: Scene, o, d, uniforms, chunk=2048,
 
 
 def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
-          nearest_segments=None, sampler="path"):
+          nearest_segments=None, sampler="path", sort_rays=None):
     """Path-trace a ray batch. Matches oracle/pathtrace.py:trace.
 
     o, d: (N, 3); uniforms: (N, n_uniform_dims(max_depth)). -> (N, 3).
 
     sampler: "path" (NEE + BSDF sampling, the default), "naive" (BSDF
     sampling only — reference `trace_naive`), or "eyelight" (debug).
+    sort_rays: re-sort the wavefront for block coherence every bounce
+    (see _ray_sort_perm; bit-identical output). None = auto: on for
+    large batches over large segment sets.
     """
     if sampler == "eyelight":
         return trace_eyelight(scene, o, d, uniforms, chunk=chunk,
@@ -329,10 +373,27 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
 
     use_env = has_env(scene)
 
+    if sort_rays is None:
+        sort_rays = (max_depth > 1 and n >= 4096
+                     and scene.segments.p0.shape[0] >= 4096)
+    if sort_rays:
+        p0 = jax.lax.stop_gradient(scene.segments.p0)
+        p1 = jax.lax.stop_gradient(scene.segments.p1)
+        sort_lo = jnp.minimum(p0.min(0), p1.min(0))
+        sort_inv = 1.0 / jnp.maximum(
+            jnp.maximum(p0.max(0), p1.max(0)) - sort_lo, 1e-6)
+
     def bounce(carry, xs):
-        o, d, L, beta, alive, prev_pdf, prev_delta = carry
+        o, d, L, beta, alive, prev_pdf, prev_delta, ridx = carry
         ub, depth = xs
-        hs = intersect_scene(scene, o, d, chunk=chunk,
+        if sort_rays:
+            # uniforms arrive in ORIGINAL ray order; realign to the
+            # sorted wavefront
+            ub = jnp.take(ub, ridx, axis=0)
+        # dead lanes become far-away rays: their sorted blocks hit zero
+        # clusters, so the Pallas kernel's list loop over them is empty
+        o_int = jnp.where(alive[:, None], o, 1e8)
+        hs = intersect_scene(scene, o_int, d, chunk=chunk,
                              nearest_segments=nearest_segments)
         miss = alive & ~hs.hit
         L = L + jnp.where(miss[:, None], beta * scene.env, 0.0)
@@ -491,14 +552,26 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         alive = alive & ~die
         beta = jnp.where(rr_on[None] if rr_on.ndim else rr_on,
                          beta / p_cont[:, None], beta)
-        return (o_new, d_new, L, beta, alive, prev_pdf, prev_delta), None
+        carry = (o_new, d_new, L, beta, alive, prev_pdf, prev_delta, ridx)
+        if sort_rays:
+            perm = _ray_sort_perm(jax.lax.stop_gradient(o_new),
+                                  jax.lax.stop_gradient(d_new),
+                                  alive, sort_lo, sort_inv)
+            carry = tuple(jnp.take(x, perm, axis=0) for x in carry)
+        return carry, None
 
     # init derived from o so varying-axis types line up under shard_map
     zero3 = (o + d) * 0.0
+    ridx0 = (jnp.arange(n, dtype=jnp.int32)
+             + zero3[:, 0].astype(jnp.int32))
     init = (o, d, zero3, zero3 + 1.0, zero3[:, 0] < 1.0, zero3[:, 0],
-            zero3[:, 0] > 1.0)
-    (o, d, L, beta, alive, _, _), _ = jax.lax.scan(
+            zero3[:, 0] > 1.0, ridx0)
+    (o, d, L, beta, alive, _, _, ridx), _ = jax.lax.scan(
         bounce, init, (ub_steps, jnp.arange(max_depth)))
+    if sort_rays:
+        # scatter radiance back to original ray order (ridx is a
+        # permutation, so this is exact and differentiable)
+        L = jnp.zeros_like(L).at[ridx].set(L)
     return L
 
 

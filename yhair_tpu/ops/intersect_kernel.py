@@ -42,10 +42,16 @@ BLOCK = 128
 SMEM_IDS_BUDGET = 512 * 1024  # bytes of scalar-prefetch ids
 
 
-def _block_cluster_lists(o, d, cl: Clusters, block):
+def _block_cluster_lists(o, d, cl: Clusters, block, t_max=None):
     """Phase 1: per-block front-to-back hit-cluster ids + counts.
 
-    o, d: (N, 3). Returns (ids (nb, C) int32, counts (nb,) int32).
+    o, d: (N, 3); t_max: optional per-ray (N,) upper bound — a cluster
+    only counts for a ray when its conservative entry distance tn lies
+    within [T_MIN, t_max] (sound: any hit with t <= t_max is inside a
+    cluster entered at tn <= t). Without a bound every cluster along the
+    ray's INFINITE extent is listed, which is what makes interior-ray
+    lists long.
+    Returns (ids (nb, C) int32, counts (nb,) int32).
     """
     n = o.shape[0]
     c = cl.n_clusters
@@ -59,7 +65,11 @@ def _block_cluster_lists(o, d, cl: Clusters, block):
         then fuse into the reductions and never round-trip through HBM
         (the unreduced variant materialized ~300 MB per traversal and was
         5x slower on v5e)."""
-        oc, invc = args  # (chunk, 3)
+        if t_max is None:
+            oc, invc = args  # (chunk, 3)
+            tm = None
+        else:
+            oc, invc, tm = args
         tn = jnp.full((oc.shape[0], c), jnp.float32(T_MIN))
         tf = jnp.full((oc.shape[0], c), INF)
         for ax in range(3):
@@ -68,6 +78,8 @@ def _block_cluster_lists(o, d, cl: Clusters, block):
             tn = jnp.maximum(tn, jnp.minimum(t0, t1))
             tf = jnp.minimum(tf, jnp.maximum(t0, t1))
         hit = tn <= tf
+        if tm is not None:
+            hit = hit & (tn <= tm[:, None])
         hb = hit.reshape(-1, block, c).any(axis=1)              # (cb, C)
         tb = jnp.where(hit, tn, INF).reshape(-1, block, c).min(axis=1)
         return hb, tb
@@ -75,12 +87,15 @@ def _block_cluster_lists(o, d, cl: Clusters, block):
     # process rays in the largest block-aligned chunk that divides N, so
     # the (chunk, C) fusion workspace stays a few MB
     ray_chunk = block * math.gcd(nb, 32)
+    args = ((o, inv) if t_max is None else (o, inv, t_max))
     if n <= ray_chunk:
-        block_hit, tn_block = chunk_masks((o, inv))
+        block_hit, tn_block = chunk_masks(args)
     else:
-        block_hit, tn_block = jax.lax.map(
-            chunk_masks, (o.reshape(-1, ray_chunk, 3),
-                          inv.reshape(-1, ray_chunk, 3)))
+        resh = ((o.reshape(-1, ray_chunk, 3), inv.reshape(-1, ray_chunk, 3))
+                if t_max is None else
+                (o.reshape(-1, ray_chunk, 3), inv.reshape(-1, ray_chunk, 3),
+                 t_max.reshape(-1, ray_chunk)))
+        block_hit, tn_block = jax.lax.map(chunk_masks, resh)
         block_hit = block_hit.reshape(nb, c)
         tn_block = tn_block.reshape(nb, c)
     counts = block_hit.sum(axis=1).astype(jnp.int32)
@@ -135,8 +150,9 @@ def _segment_test(o, d, tc, t_cap):
     return ok, s, oid
 
 
-def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, tc_ref,
-                t_ref, idx_ref, *, cluster_size, block, k_cap, stream):
+def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, t0_ref, i0_ref,
+                oid0_ref, tc_ref, t_ref, idx_ref, oid_ref, *,
+                cluster_size, block, k_cap, stream):
     b = pl.program_id(0)
     o = o_ref[:, :]              # (block, 3)
     d = d_ref[:, :]
@@ -180,13 +196,17 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, tc_ref,
         # front-to-back cluster starts beyond max(t_best)) measured ~2x
         # SLOWER here: a block almost always contains at least one miss
         # ray whose t_best stays inf, so the exit never fires and the
-        # per-iteration cond is pure overhead. Plain fori wins.
-        init = (jnp.full((block, 1), 1e30, jnp.float32),
-                jnp.zeros((block, 1), jnp.int32),
-                jnp.full((block, 1), 3.4e38, jnp.float32))
-        t_best, idx_best, _ = jax.lax.fori_loop(0, n_hit, body, init)
+        # per-iteration cond is pure overhead. Plain fori wins; the
+        # two-pass t_max pruning in nearest_hit bounds the list instead.
+        # The carry is SEEDED from the previous pass (INF/0 on pass 1):
+        # the global (t, oid) lexicographic min is associative, so
+        # splitting the cluster list across passes — even with revisits —
+        # selects the same winner.
+        init = (t0_ref[:, :], i0_ref[:, :], oid0_ref[:, :])
+        t_best, idx_best, oid_best = jax.lax.fori_loop(0, n_hit, body, init)
         t_ref[:, :] = t_best
         idx_ref[:, :] = idx_best
+        oid_ref[:, :] = oid_best
 
     if not stream:
         run(lambda i, cid: tc_ref[cid])
@@ -315,8 +335,8 @@ def _use_stream(cl: Clusters):
     return cl.tc.size * 4 > RESIDENT_TILE_BUDGET
 
 
-def _common_call(kernel, extra_in, extra_in_specs, out_shape, out_specs,
-                 o, d, cl, block, interpret, k_cap, stream):
+def _common_call(kernel, ids, counts, extra_in, extra_in_specs, out_shape,
+                 out_specs, o, d, cl, block, interpret, k_cap, stream):
     n = o.shape[0]
     nb = n // block
 
@@ -334,7 +354,6 @@ def _common_call(kernel, extra_in, extra_in_specs, out_shape, out_specs,
         ],
         out_specs=out_specs,
     )
-    ids, counts = _block_cluster_lists(o, d, cl, block)
     ids = ids[:, :k_cap]
     counts = jnp.where(counts > k_cap, cl.n_clusters,
                        counts).astype(jnp.int32)
@@ -352,6 +371,27 @@ def _common_call(kernel, extra_in, extra_in_specs, out_shape, out_specs,
     )(*map(_promote, (ids, counts, o, d, *extra_in, cl.tc)))
 
 
+# prefix pass length: front-to-back clusters visited to seed the per-ray
+# upper bound before the t_max-pruned main pass (see nearest_hit)
+K_PREFIX = 32
+
+
+def _hit_pass(o, d, seeds, ids, counts, cl, block, interpret, k_cap,
+              stream):
+    n = o.shape[0]
+    kernel = functools.partial(_hit_kernel, cluster_size=cl.cluster_size,
+                               block=block, k_cap=k_cap, stream=stream)
+    spec_b1 = pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
+                           memory_space=pltpu.VMEM)
+    return _common_call(
+        kernel, ids, counts, seeds, (spec_b1,) * 3,
+        [_out_struct((n, 1), jnp.float32, o),
+         _out_struct((n, 1), jnp.int32, o),
+         _out_struct((n, 1), jnp.float32, o)],
+        [spec_b1, spec_b1, spec_b1],
+        o, d, cl, block, interpret, k_cap, stream)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("block", "interpret", "stream"))
 def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False,
@@ -362,23 +402,43 @@ def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False,
     (cl.s0/s1 rows), matching geometry.Segments built from them.
     stream: None = auto (tiles bigger than the VMEM budget stream from
     HBM); True/False forces the variant.
+
+    TWO-PASS traversal: phase 1 lists every cluster along the ray's
+    infinite extent, so interior rays in dense hair see O(C^(2/3))-long
+    lists although their hit lies in the first few clusters. Pass 1
+    visits only the K_PREFIX nearest (front-to-back) clusters, which
+    resolves most rays and yields a per-ray upper bound t1; pass 2
+    reruns phase 1 pruned by t_max = t1 (sound: a hit at t <= t1 lies in
+    a cluster entered at tn <= t) and finishes from the pass-1 seeds.
+    Revisited prefix clusters cannot change the (t, id) lexicographic
+    winner, so the result is bit-identical to a single full pass.
     """
     n = o.shape[0]
     assert n % block == 0, f"rays {n} % block {block}"
-    k_cap = _k_cap(n // block, cl.n_clusters)
+    c = cl.n_clusters
+    k_cap = _k_cap(n // block, c)
     if stream is None:
         stream = _use_stream(cl)
-    kernel = functools.partial(_hit_kernel, cluster_size=cl.cluster_size,
-                               block=block, k_cap=k_cap, stream=stream)
-    t, idx = _common_call(
-        kernel, (), (),
-        [_out_struct((n, 1), jnp.float32, o),
-         _out_struct((n, 1), jnp.int32, o)],
-        [pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
-                      memory_space=pltpu.VMEM),
-         pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
-                      memory_space=pltpu.VMEM)],
-        o, d, cl, block, interpret, k_cap, stream)
+
+    ids, counts = _block_cluster_lists(o, d, cl, block)
+    if c <= K_PREFIX:
+        seeds = (jnp.full((n, 1), INF, jnp.float32),
+                 jnp.zeros((n, 1), jnp.int32),
+                 jnp.full((n, 1), 3.4e38, jnp.float32))
+        t, idx, _ = _hit_pass(o, d, seeds, ids, counts, cl, block,
+                              interpret, k_cap, stream)
+    else:
+        seeds = (jnp.full((n, 1), INF, jnp.float32),
+                 jnp.zeros((n, 1), jnp.int32),
+                 jnp.full((n, 1), 3.4e38, jnp.float32))
+        t1, i1, oid1 = _hit_pass(
+            o, d, seeds, ids[:, :K_PREFIX],
+            jnp.minimum(counts, K_PREFIX), cl, block, interpret,
+            K_PREFIX, stream)
+        ids2, counts2 = _block_cluster_lists(o, d, cl, block,
+                                             t_max=t1[:, 0])
+        t, idx, _ = _hit_pass(o, d, (t1, i1, oid1), ids2, counts2, cl,
+                              block, interpret, k_cap, stream)
     t = t[:, 0]
     idx = idx[:, 0]
     hit = t < INF
@@ -398,10 +458,13 @@ def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False,
     k_cap = _k_cap(n // block, cl.n_clusters)
     if stream is None:
         stream = _use_stream(cl)
+    # per-ray t_max pruning keeps shadow-ray cluster lists short (only
+    # clusters entered before the light can occlude)
+    ids, counts = _block_cluster_lists(o, d, cl, block, t_max=t_max)
     kernel = functools.partial(_any_kernel, cluster_size=cl.cluster_size,
                                block=block, k_cap=k_cap, stream=stream)
     (occ,) = _common_call(
-        kernel, (t_max.reshape(n, 1),),
+        kernel, ids, counts, (t_max.reshape(n, 1),),
         (pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
                       memory_space=pltpu.VMEM),),
         [_out_struct((n, 1), jnp.int32, o)],
