@@ -30,7 +30,17 @@ sys.path.insert(0, REPO)
 W = H = 16
 SPP = 2
 DEPTH = 2
-PORT = 12357
+
+
+def _free_port():
+    """Ephemeral coordinator port: a hard-coded port collides with
+    concurrent runs / lingering TIME_WAIT sockets and makes
+    jax.distributed.initialize fail opaquely (ADVICE r2)."""
+    import socket
+
+    with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
 
 
 def _build_problem():
@@ -69,7 +79,7 @@ def _grads(mesh):
         lambda g: __import__("numpy").asarray(g), grads)
 
 
-def worker(nproc, proc, local, out):
+def worker(nproc, proc, local, out, port):
     # XLA_FLAGS must already be in the environment (set at spawn); the
     # platform must additionally go through jax.config because this
     # image's sitecustomize force-registers the axon backend via config,
@@ -79,7 +89,7 @@ def worker(nproc, proc, local, out):
 
     jax.config.update("jax_platforms", "cpu")
 
-    jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
+    jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                                num_processes=nproc, process_id=proc)
     assert jax.process_count() == nproc
     assert len(jax.devices()) == nproc * local, (
@@ -96,6 +106,7 @@ def worker(nproc, proc, local, out):
 
 
 def _spawn(nproc, local, out):
+    port = _free_port()
     procs = []
     for i in range(nproc):
         env = dict(os.environ)
@@ -105,7 +116,7 @@ def _spawn(nproc, local, out):
         procs.append(subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), "worker",
              "--nproc", str(nproc), "--proc", str(i),
-             "--local", str(local), "--out", out],
+             "--local", str(local), "--out", out, "--port", str(port)],
             env=env, cwd=REPO))
     return [p.wait(timeout=900) for p in procs]
 
@@ -147,9 +158,10 @@ def main():
     ap.add_argument("--local", type=int, default=4)
     ap.add_argument("--proc", type=int, default=0)
     ap.add_argument("--out", default="")
+    ap.add_argument("--port", type=int, default=0)
     a = ap.parse_args()
     if a.mode == "worker":
-        worker(a.nproc, a.proc, a.local, a.out)
+        worker(a.nproc, a.proc, a.local, a.out, a.port or _free_port())
     else:
         launch(a.nproc, a.local)
 

@@ -47,11 +47,13 @@ class EnvMap:
         self.sin_t = sin_t
 
     def eval(self, d):
-        """Bilinear-free nearest lookup (matches the JAX side exactly)."""
+        """Bilinear lookup, wrap in u / clamp in v (mirrored by the JAX
+        core/envmap.py:env_eval; the pdf stays nearest-texel — both
+        strategies use the same pdf function, so MIS stays consistent)."""
+        from .texture import tex_bilinear
+
         u, v = direction_to_uv(d)
-        x = np.minimum((u * self.w).astype(np.int64), self.w - 1)
-        y = np.minimum((v * self.h).astype(np.int64), self.h - 1)
-        return self.image[y, x]
+        return tex_bilinear(self.image, u, v)
 
     def pdf(self, d):
         """Solid-angle pdf of `sample` for direction d."""

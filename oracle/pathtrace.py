@@ -167,6 +167,8 @@ def _gather_materials(mats, idx):
         out[k] = np.stack([m[k] for m in mats])[idx]
     for k in ("roughness", "metallic", "ior", "transmission", "specular"):
         out[k] = np.asarray([m[k] for m in mats])[idx]
+    for k in ("color_tex", "emission_tex", "roughness_tex"):
+        out[k] = np.asarray([m.get(k, -1) for m in mats], np.int64)[idx]
     return out
 
 
@@ -189,6 +191,10 @@ def _intersect_scene(scene, o, d):
         "tangent": np.zeros((n, 3)), "frame_y": np.zeros((n, 3)),
         "frame_z": np.zeros((n, 3)), "h": np.zeros(n),
         "radius": np.zeros(n),
+        # texture coordinates at the hit (oracle/texture.py conventions)
+        "uv": np.zeros((n, 2)),
+        # winning hair-segment id (per-shape hair materials), -1 = none
+        "seg_id": np.full(n, -1, np.int64),
     }
     al = scene.get("_area_lights")
     if scene.get("segments") is not None:
@@ -203,6 +209,7 @@ def _intersect_scene(scene, o, d):
         best["h"] = np.where(closer, hs["h"], best["h"])
         seg_r = (hs["u"] * (r1 - r0)[hs["seg"]] + r0[hs["seg"]])
         best["radius"] = np.where(closer, seg_r, best["radius"])
+        best["seg_id"] = np.where(closer, hs["seg"], best["seg_id"])
     mat_id = 0
     for si, sph in enumerate(scene.get("spheres") or []):
         hs = geo.intersect_sphere(o, d, np.asarray(sph["center"], np.float64),
@@ -219,6 +226,11 @@ def _intersect_scene(scene, o, d):
             best[k] = np.where(closer[:, None], hs[k], best[k])
         best["gnormal"] = np.where(closer[:, None], hs["normal"],
                                    best["gnormal"])
+        nrm = hs["normal"]  # outward unit normal -> spherical uv
+        uv_s = np.stack(
+            [np.arctan2(nrm[:, 2], nrm[:, 0]) / (2.0 * np.pi) + 0.5,
+             np.arccos(np.clip(nrm[:, 1], -1.0, 1.0)) / np.pi], axis=-1)
+        best["uv"] = np.where(closer[:, None], uv_s, best["uv"])
         mat_id += 1
     for pl in scene.get("planes", []):
         hs = geo.intersect_plane(o, d, np.asarray(pl["point"], np.float64),
@@ -235,6 +247,16 @@ def _intersect_scene(scene, o, d):
             best[k] = np.where(closer[:, None], hs[k], best[k])
         best["gnormal"] = np.where(closer[:, None], hs["normal"],
                                    best["gnormal"])
+        # planar uv in the STORED normal's tangent frame (never the
+        # ray-flipped shading normal: uv must not depend on ray side)
+        pn = geo.normalize(np.asarray(pl["normal"], np.float64))
+        ax = (np.array([0.0, 1.0, 0.0]) if abs(pn[0]) > 0.9
+              else np.array([1.0, 0.0, 0.0]))
+        t1p = geo.normalize(np.cross(pn, ax))
+        t2p = np.cross(pn, t1p)
+        rel = hs["position"] - np.asarray(pl["point"], np.float64)
+        uv_p = np.stack([rel @ t1p, rel @ t2p], axis=-1)
+        best["uv"] = np.where(closer[:, None], uv_p, best["uv"])
         mat_id += 1
     tri_base = 0
     for mesh in scene.get("meshes", []):
@@ -265,6 +287,12 @@ def _intersect_scene(scene, o, d):
         best["normal"] = np.where(closer[:, None], nrm, best["normal"])
         best["gnormal"] = np.where(closer[:, None], hs["normal"],
                                    best["gnormal"])
+        if mesh.get("texcoords") is not None:
+            tc = np.asarray(mesh["texcoords"], np.float64)[tri[hs["tri"]]]
+            uv_m = ((1.0 - hs["u"] - hs["v"])[:, None] * tc[:, 0]
+                    + hs["u"][:, None] * tc[:, 1]
+                    + hs["v"][:, None] * tc[:, 2])
+            best["uv"] = np.where(closer[:, None], uv_m, best["uv"])
         mat_id += 1
     return best
 
@@ -281,7 +309,21 @@ def _occluded_far(scene, o, d):
     return hs["hit"]
 
 
-def _hair_bsdf(scene, h, key="hair_material"):
+def _hair_bsdf(scene, h, seg_id=None, key="hair_material"):
+    if scene.get("hair_materials") and seg_id is not None:
+        # per-shape hair materials: gather table rows per hit segment
+        ms = scene["hair_materials"]
+        mid = np.asarray(scene["segment_mat_id"],
+                         np.int64)[np.maximum(seg_id, 0)]
+        return HairBSDF(
+            h=h,
+            sigma_a=np.stack([np.asarray(m["sigma_a"], np.float64)
+                              for m in ms])[mid],
+            beta_m=np.asarray([m["beta_m"] for m in ms])[mid],
+            beta_n=np.asarray([m["beta_n"] for m in ms])[mid],
+            alpha=np.asarray([m.get("alpha", np.deg2rad(2.0))
+                              for m in ms])[mid],
+            eta=np.asarray([m.get("eta", 1.55) for m in ms])[mid])
     m = scene.get(key) or scene["hair_material"]
     return HairBSDF(h=h, sigma_a=np.asarray(m["sigma_a"], np.float64),
                     beta_m=m["beta_m"], beta_n=m["beta_n"],
@@ -339,6 +381,9 @@ def trace(scene, o, d, uniforms, max_depth=4):
         is_hair = hs["mat"] == 0
         pos = hs["position"]
         sp = _gather_materials(mats, hs["mat_id"])
+        if scene.get("textures"):
+            from . import texture as otex
+            sp = otex.apply_textures(scene, sp, hs["uv"])
 
         # emission of surface hits (area lights seen by BSDF rays),
         # MIS-weighted against the area-light NEE that could have sampled
@@ -376,8 +421,9 @@ def trace(scene, o, d, uniforms, max_depth=4):
         # finite differences over the eval material compute exactly the
         # detached-sampling gradient estimator the JAX integrator uses
         # (directions/pdf frozen at base parameters).
-        bsdf = _hair_bsdf(scene, hs["h"])
-        bsdf_eval = (_hair_bsdf(scene, hs["h"], "hair_material_eval")
+        bsdf = _hair_bsdf(scene, hs["h"], hs["seg_id"])
+        bsdf_eval = (_hair_bsdf(scene, hs["h"],
+                                key="hair_material_eval")
                      if scene.get("hair_material_eval") else bsdf)
 
         # ---- direct lighting: sum over all point lights (deterministic)

@@ -33,10 +33,12 @@ DELTA_ROUGHNESS = 1e-3  # roughness below this => delta lobes
 
 def make_material(emission=(0.0, 0.0, 0.0), color=(0.0, 0.0, 0.0),
                   roughness=1.0, metallic=0.0, ior=1.5, transmission=0.0,
-                  specular=1.0):
+                  specular=1.0, color_tex=-1, emission_tex=-1,
+                  roughness_tex=-1):
     """Normalized material dict (the oracle scene format). `specular`
     scales the dielectric reflection lobe (yocto-style knob: matte
-    surfaces have specular = 0)."""
+    surfaces have specular = 0). *_tex index scene["textures"] (-1 =
+    none); a texture MULTIPLIES its constant (oracle/texture.py)."""
     return {
         "emission": np.asarray(emission, np.float64),
         "color": np.asarray(color, np.float64),
@@ -45,6 +47,9 @@ def make_material(emission=(0.0, 0.0, 0.0), color=(0.0, 0.0, 0.0),
         "ior": float(ior),
         "transmission": float(transmission),
         "specular": float(specular),
+        "color_tex": int(color_tex),
+        "emission_tex": int(emission_tex),
+        "roughness_tex": int(roughness_tex),
     }
 
 

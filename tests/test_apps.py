@@ -29,6 +29,7 @@ def test_render_cli_samplers(tmp_path):
         assert out.exists()
 
 
+@pytest.mark.slow
 def test_invert_cli(tmp_path):
     from yhair_tpu.apps import invert
     out = tmp_path / "rec.json"

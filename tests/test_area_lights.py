@@ -10,6 +10,7 @@ from oracle import pathtrace as opt
 from scenes import generators as gen
 from yhair_tpu.core import scene as jscene
 from yhair_tpu.integrator import path as jpath
+import pytest
 
 
 def _quad_mesh(p, ex, ey, material):
@@ -71,6 +72,7 @@ def test_area_light_parity():
     assert img_o[30:, :, :].mean() > 0.05
 
 
+@pytest.mark.slow
 def test_nee_matches_naive():
     """NEE + MIS must estimate the same image as naive BSDF-only sampling
     (unbiasedness of the light-sampling + MIS weights), with NEE far less

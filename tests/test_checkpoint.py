@@ -6,12 +6,14 @@ import jax
 from scenes import generators as gen
 from yhair_tpu.apps.common import build_device_scene, progressive_render
 from yhair_tpu.utils import checkpoint as ckpt
+import pytest
 
 
 def _quiet(*a, **k):
     pass
 
 
+@pytest.mark.slow
 def test_progressive_resume_bit_exact(tmp_path):
     scene_d, cam_d = gen.single_strand()
     sc, cam, nearest = build_device_scene(scene_d, cam_d, use_bvh=False)

@@ -64,6 +64,7 @@ def test_kernel_ray_padding(setup):
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_kernel_render_parity(setup):
     sc, sc2, cl, nearest, cam_d = setup
     cam = jscene.camera_from_dict(cam_d)

@@ -20,6 +20,7 @@ from oracle import pathtrace as opt
 from scenes import generators as gen
 from yhair_tpu.core import scene as jscene
 from yhair_tpu.integrator import path as jpath
+import pytest
 
 
 def _jax_grad_image(scene_dict, cam_dict, u, depth, wrt):
@@ -49,6 +50,7 @@ def _oracle_fd_image(scene_dict, cam_dict, u, depth, wrt, eps):
     return (render_with(eps) - render_with(-eps)) / (2 * eps)
 
 
+@pytest.mark.slow
 def test_pixel_grads_direct_lighting():
     """Depth-1 (direct only): per-pixel d(img)/d(beta_m, beta_n) allclose."""
     scene, cam = gen.single_strand()
@@ -66,6 +68,7 @@ def test_pixel_grads_direct_lighting():
         assert np.abs(g_fd).max() > 1e-3
 
 
+@pytest.mark.slow
 def test_pixel_grads_sigma_a_direct():
     scene, cam = gen.single_strand()
     rng = np.random.default_rng(1)
@@ -97,6 +100,7 @@ def test_pixel_grads_sigma_a_direct():
                                    atol=2e-3)
 
 
+@pytest.mark.slow
 def test_pixel_grads_multibounce_detached():
     """Full path (depth 4, RR active): per-pixel d(img)/d(beta_m) vs the
     oracle's split-material finite differences (sampling frozen at base
@@ -129,6 +133,7 @@ def test_pixel_grads_multibounce_detached():
     np.testing.assert_allclose(g_jax / scale, g_fd / scale, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_pixel_grads_geometry_endpoints():
     """Geometry gradients (VERDICT r1 missing #1): d(img)/d(strand
     translation) vs oracle finite differences.
@@ -181,6 +186,7 @@ def test_pixel_grads_geometry_endpoints():
                                g2[interior] / scale, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_geometry_grads_cluster_kernel_path():
     """The Pallas cluster path must carry the same geometry gradients as
     the brute-force path (recompute-based backward: the kernel's discrete

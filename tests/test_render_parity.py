@@ -41,6 +41,7 @@ def test_single_strand_direct():
     assert diff.mean() < 5e-4
 
 
+@pytest.mark.slow
 def test_patch_with_plane_and_bounce():
     scene, cam = gen.hair_patch(n_strands=60)
     img_o, img_j = _render_pair(scene, cam, res=40, spp=2, depth=3, seed=1)

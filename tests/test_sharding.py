@@ -26,6 +26,7 @@ def small_scene():
     return sc2, cam, nearest
 
 
+@pytest.mark.slow
 def test_render_matches_across_device_counts(small_scene):
     sc, cam, nearest = small_scene
     key = jax.random.key(7)
@@ -52,6 +53,7 @@ def test_render_matches_across_device_counts(small_scene):
     assert img1.std() > 1e-3  # non-trivial image
 
 
+@pytest.mark.slow
 def test_sharded_train_step(small_scene):
     sc, cam, nearest = small_scene
     mesh = pmesh.make_mesh(jax.devices())
@@ -75,6 +77,7 @@ def test_sharded_train_step(small_scene):
     assert float(params2["beta_m"]) != 0.45
 
 
+@pytest.mark.slow
 def test_train_reduces_loss(small_scene):
     """A few steps of the sharded step must reduce the loss toward the
     true parameters (mini inverse-rendering smoke)."""

@@ -11,6 +11,7 @@ from oracle import geometry as geo
 from oracle import pathtrace as opt
 from scenes import generators as gen
 from yhair_tpu.geometry import triangles as jtri
+import pytest
 
 
 def _random_rays(n, seed=0, origin_box=1.5):
@@ -81,6 +82,7 @@ def test_fur_on_mesh_roots_on_surface():
     assert np.all(tips > r)                  # strands grow outward
 
 
+@pytest.mark.slow
 def test_mesh_render_parity():
     """Mesh-bodied furry bunny renders identically in oracle and JAX."""
     from yhair_tpu.core import scene as jscene

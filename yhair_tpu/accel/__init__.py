@@ -8,6 +8,7 @@ gathers without an extra indirection on the hot path.
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.scene import Scene
@@ -23,5 +24,9 @@ def build_scene_bvh(scene: Scene, leaf_size=4):
                       leaf_size=leaf_size)
     dev = traverse.DeviceBVH.from_host(host)
     reordered = Segments(dev.p0, dev.p1, dev.r0, dev.r1)
-    scene2 = scene._replace(segments=reordered, accel=dev)
+    sidx = np.asarray(host.seg_index)
+    smid = np.asarray(scene.seg_mat_id)[np.maximum(sidx, 0)]
+    smid = np.where(sidx >= 0, smid, 0).astype(np.int32)
+    scene2 = scene._replace(segments=reordered, accel=dev,
+                            seg_mat_id=jnp.asarray(smid))
     return scene2, dev, traverse.make_nearest_fn(dev, reordered)

@@ -35,6 +35,9 @@ class SurfaceMaterial(NamedTuple):
     ior: jax.Array           # (M,)
     transmission: jax.Array  # (M,)
     specular: jax.Array      # (M,) dielectric-lobe scale (matte = 0)
+    color_tex: jax.Array     # (M,) int32 scene texture id, -1 = none
+    emission_tex: jax.Array  # (M,) int32
+    roughness_tex: jax.Array  # (M,) int32
 
     @classmethod
     def make(cls, mats: list, dtype=jnp.float32) -> "SurfaceMaterial":
@@ -51,6 +54,10 @@ class SurfaceMaterial(NamedTuple):
                           for r in rows]) if width else np.asarray(rows)
             return jnp.asarray(a, dtype)
 
+        def icol(key):
+            return jnp.asarray([int(m.get(key, -1)) for m in mats],
+                               jnp.int32)
+
         return cls(
             emission=col("emission", (0.0, 0.0, 0.0), 3),
             color=col("color", (0.0, 0.0, 0.0), 3),
@@ -59,6 +66,9 @@ class SurfaceMaterial(NamedTuple):
             ior=col("ior", 1.5),
             transmission=col("transmission", 0.0),
             specular=col("specular", 1.0),
+            color_tex=icol("color_tex"),
+            emission_tex=icol("emission_tex"),
+            roughness_tex=icol("roughness_tex"),
         )
 
     def gather(self, idx) -> "SurfaceMaterial":

@@ -33,8 +33,29 @@ def direction_to_texel(scene, d):
 
 
 def env_eval(scene, d):
-    x, y = direction_to_texel(scene, d)
-    return scene.env_map[y, x]
+    """Bilinear radiance lookup (wrap u, clamp v) — mirrors
+    oracle/envmap.py:EnvMap.eval / oracle/texture.py:tex_bilinear."""
+    h, w = _dims(scene)
+    u = jnp.arctan2(d[..., 2], d[..., 0]) / TWO_PI + 0.5
+    v = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0)) / jnp.pi
+    u = u % 1.0
+    v = jnp.clip(v, 0.0, 1.0 - 1e-7)
+    x = u * w - 0.5
+    y = jnp.clip(v * h - 0.5, 0.0, h - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    xi0 = x0.astype(jnp.int32) % w
+    xi1 = (xi0 + 1) % w
+    yi0 = y0.astype(jnp.int32)
+    yi1 = jnp.minimum(yi0 + 1, h - 1)
+    c00 = scene.env_map[yi0, xi0]
+    c01 = scene.env_map[yi0, xi1]
+    c10 = scene.env_map[yi1, xi0]
+    c11 = scene.env_map[yi1, xi1]
+    return ((1 - fy) * ((1 - fx) * c00 + fx * c01)
+            + fy * ((1 - fx) * c10 + fx * c11))
 
 
 def env_pdf(scene, d):

@@ -22,12 +22,18 @@ from ..bsdf.hair import HairMaterial
 from ..bsdf.surface import SurfaceMaterial
 from ..geometry.segments import Segments
 from ..geometry.triangles import Triangles
+from . import texture
 from .camera import Camera
 
 
 class Scene(NamedTuple):
     segments: Segments
-    hair: HairMaterial
+    hair: HairMaterial       # differentiable hair params. Leaves may be
+                             # scalar/(3,) (one global material) OR carry a
+                             # leading table dim (Mh,)/(Mh, 3) — per-shape
+                             # hair materials, indexed by seg_mat_id
+                             # (SURVEY.md §2.5 per-material hair params)
+    seg_mat_id: jax.Array    # (S,) int32 hair-material index per segment
     surf_mat: SurfaceMaterial  # (M, ...) material table; sphere i ->
                                # entry i, plane j -> entry NS + j,
                                # mesh k -> entry NS + NP + k
@@ -56,6 +62,8 @@ class Scene(NamedTuple):
     env_pmf: jax.Array       # (H*W,) texel pmf for importance sampling
     env_cdf: jax.Array       # (H*W,)
     env_sin: jax.Array       # (H,) sin(theta) per row
+    tex_data: jax.Array      # (P, 3) flattened texel table (core/texture)
+    tex_meta: jax.Array      # (T, 3) int32 (offset, H, W); (0,3) = none
     accel: object = None     # acceleration structure pytree (Clusters /
                              # DeviceBVH) or None -> brute-force scan;
                              # carried in the Scene so it crosses jit
@@ -87,11 +95,26 @@ def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
     """Convert an oracle-format scene dict into device arrays."""
     p0, p1, r0, r1 = scene["segments"]
     segs = Segments.make(p0, p1, r0, r1, dtype=dtype)
-    m = scene["hair_material"]
-    hair = HairMaterial.make(
-        sigma_a=np.asarray(m["sigma_a"]), beta_m=m["beta_m"],
-        beta_n=m["beta_n"], alpha=m.get("alpha", np.deg2rad(2.0)),
-        eta=m.get("eta", 1.55), dtype=dtype)
+    if scene.get("hair_materials"):
+        # per-shape hair-material TABLE: leaves get a leading (Mh,) dim,
+        # gathered per hit segment via seg_mat_id in the integrator
+        ms = scene["hair_materials"]
+        hair = HairMaterial.make(
+            sigma_a=np.stack([np.asarray(m["sigma_a"]) for m in ms]),
+            beta_m=np.asarray([m["beta_m"] for m in ms]),
+            beta_n=np.asarray([m["beta_n"] for m in ms]),
+            alpha=np.asarray([m.get("alpha", np.deg2rad(2.0))
+                              for m in ms]),
+            eta=np.asarray([m.get("eta", 1.55) for m in ms]), dtype=dtype)
+        seg_mat_id = jnp.asarray(scene["segment_mat_id"], jnp.int32)
+        assert seg_mat_id.shape[0] == np.asarray(p0).shape[0]
+    else:
+        m = scene["hair_material"]
+        hair = HairMaterial.make(
+            sigma_a=np.asarray(m["sigma_a"]), beta_m=m["beta_m"],
+            beta_n=m["beta_n"], alpha=m.get("alpha", np.deg2rad(2.0)),
+            eta=m.get("eta", 1.55), dtype=dtype)
+        seg_mat_id = jnp.zeros((np.asarray(p0).shape[0],), jnp.int32)
 
     spheres = scene.get("spheres") or []
     planes = scene.get("planes") or []
@@ -132,6 +155,7 @@ def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
     return Scene(
         segments=segs,
         hair=hair,
+        seg_mat_id=seg_mat_id,
         surf_mat=SurfaceMaterial.make(scene_surface_materials(scene),
                                       dtype=dtype),
         sph_center=arr([s["center"] for s in spheres], (0, 3)),
@@ -147,6 +171,8 @@ def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
         env=jnp.asarray(np.asarray(scene.get("environment", [0.0, 0.0, 0.0]),
                                    np.float64), dtype),
         **_env_map_arrays(scene.get("env_map"), dtype),
+        **dict(zip(("tex_data", "tex_meta"), texture.flatten_textures(
+            [t["data"] for t in scene.get("textures", [])], dtype))),
     )
 
 

@@ -38,6 +38,9 @@ class Triangles(NamedTuple):
     n0: jax.Array      # (T, 3)
     n1: jax.Array      # (T, 3)
     n2: jax.Array      # (T, 3)
+    uv0: jax.Array     # (T, 2) per-vertex texcoords (zeros = none)
+    uv1: jax.Array     # (T, 2)
+    uv2: jax.Array     # (T, 2)
     mat_id: jax.Array  # (T,) int32
 
     @property
@@ -47,17 +50,19 @@ class Triangles(NamedTuple):
     @classmethod
     def empty(cls, dtype=jnp.float32) -> "Triangles":
         z = jnp.zeros((0, 3), dtype)
-        return cls(z, z, z, z, z, z, jnp.zeros((0,), jnp.int32))
+        z2 = jnp.zeros((0, 2), dtype)
+        return cls(z, z, z, z, z, z, z2, z2, z2,
+                   jnp.zeros((0,), jnp.int32))
 
     @classmethod
     def from_meshes(cls, meshes: list, mat_id0: int = 0,
                     dtype=jnp.float32) -> "Triangles":
         """Flatten a list of mesh dicts ({'positions', 'triangles',
-        optional 'normals'}) into one buffer; mesh i gets material id
-        mat_id0 + i."""
+        optional 'normals', optional 'texcoords'}) into one buffer;
+        mesh i gets material id mat_id0 + i."""
         if not meshes:
             return cls.empty(dtype)
-        vs, ns, mids = [], [], []
+        vs, ns, uvs, mids = [], [], [], []
         for i, mesh in enumerate(meshes):
             pos = np.asarray(mesh["positions"], np.float64)
             tri = np.asarray(mesh["triangles"], np.int64)
@@ -69,15 +74,22 @@ class Triangles(NamedTuple):
                 vn = np.asarray(mesh["normals"], np.float64)[tri]
             else:
                 vn = np.broadcast_to(gn[:, None], v.shape)
+            if mesh.get("texcoords") is not None:
+                uv = np.asarray(mesh["texcoords"], np.float64)[tri]
+            else:
+                uv = np.zeros((len(tri), 3, 2))
             vs.append(v)
             ns.append(vn)
+            uvs.append(uv)
             mids.append(np.full(len(tri), mat_id0 + i, np.int32))
         v = np.concatenate(vs)
         vn = np.concatenate(ns)
+        uv = np.concatenate(uvs)
         mid = np.concatenate(mids)
         as_ = lambda a: jnp.asarray(a, dtype)
         return cls(as_(v[:, 0]), as_(v[:, 1]), as_(v[:, 2]),
                    as_(vn[:, 0]), as_(vn[:, 1]), as_(vn[:, 2]),
+                   as_(uv[:, 0]), as_(uv[:, 1]), as_(uv[:, 2]),
                    jnp.asarray(mid))
 
     def padded(self, multiple: int) -> "Triangles":
@@ -87,6 +99,7 @@ class Triangles(NamedTuple):
         if pad == 0:
             return self
         far = jnp.full((pad, 3), 1e8, self.v0.dtype)
+        z2 = jnp.zeros((pad, 2), self.uv0.dtype)
         return Triangles(
             jnp.concatenate([self.v0, far]),
             jnp.concatenate([self.v1, far]),
@@ -94,6 +107,9 @@ class Triangles(NamedTuple):
             jnp.concatenate([self.n0, far]),
             jnp.concatenate([self.n1, far]),
             jnp.concatenate([self.n2, far]),
+            jnp.concatenate([self.uv0, z2]),
+            jnp.concatenate([self.uv1, z2]),
+            jnp.concatenate([self.uv2, z2]),
             jnp.concatenate([self.mat_id,
                              jnp.zeros((pad,), jnp.int32)]))
 
@@ -162,6 +178,7 @@ class TriangleShade(NamedTuple):
     normal: jax.Array   # (N, 3) interpolated shading normal
     gnormal: jax.Array  # (N, 3) geometric normal
     mat_id: jax.Array   # (N,) int32
+    uv: jax.Array       # (N, 2) interpolated texcoords
 
 
 def shade_info(o, d, idx, tris: Triangles) -> TriangleShade:
@@ -181,4 +198,7 @@ def shade_info(o, d, idx, tris: Triangles) -> TriangleShade:
     # keep the shading normal on the geometric normal's side (matches
     # oracle/pathtrace.py mesh shading)
     sn = sn * jnp.where((jnp.sum(sn * gn, -1) < 0)[:, None], -1.0, 1.0)
-    return TriangleShade(normal=sn, gnormal=gn, mat_id=tris.mat_id[idx])
+    uv = (w[:, None] * tris.uv0[idx] + u[:, None] * tris.uv1[idx]
+          + v[:, None] * tris.uv2[idx])
+    return TriangleShade(normal=sn, gnormal=gn, mat_id=tris.mat_id[idx],
+                         uv=uv)

@@ -50,6 +50,8 @@ class Hit(NamedTuple):
     frame_z: jax.Array    # (N, 3)
     h: jax.Array          # (N,)
     radius: jax.Array     # (N,)
+    uv: jax.Array         # (N, 2) texture coordinates (surface hits)
+    hair_mid: jax.Array   # (N,) int32 hair-material table index
 
 
 def _nearest(scene: Scene, o, d, chunk, nearest_segments):
@@ -95,8 +97,20 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
     # segment's ray parameter with the differentiable closed form, so
     # ∂t/∂(strand endpoints) flows into positions, NEE distances and the
     # shading frame (recompute-based backward for the kernel; SURVEY.md
-    # §7.8, VERDICT r1 missing #1). Values are bit-identical: the closed
-    # form below IS the arithmetic both search paths use.
+    # §7.8, VERDICT r1 missing #1). The closed form below IS the
+    # arithmetic both search paths use, so s_re matches the searched t up
+    # to (at worst) FMA-fusion ulps between the Pallas kernel and this
+    # XLA recompute; the `where(hit_seg, ...)` gate keys off the SEARCH's
+    # hit mask, so ulp drift cannot flip hit/miss (tested bit-equal on
+    # TPU hardware in tests/test_tpu_hardware.py).
+    #
+    # ESTIMATOR NOTE (interior term only): hit/miss indicators, the
+    # winning index and occlusion stay detached, so silhouette /
+    # visibility derivatives are dropped. Gradients at strand edges are
+    # biased toward zero; inverse rendering of positions relies on the
+    # interior (shading + foreshortening + occlusion-geometry) term. An
+    # edge-sampling or reparameterized-visibility boundary estimator is
+    # future work (see README "Geometry gradients").
     t_seg = jax.lax.stop_gradient(t_seg)
     idx = jax.lax.stop_gradient(idx)
     s_re, _, _ = seg._closest_approach(o, d, scene.segments.p0[idx],
@@ -109,6 +123,7 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
     light_id = jnp.full((n,), -1, jnp.int32)
     normal = jnp.zeros((n, 3), o.dtype)
     gnormal = jnp.zeros((n, 3), o.dtype)
+    uv = jnp.zeros((n, 2), o.dtype)
 
     if scene.n_spheres:
         oc = o[:, None, :] - scene.sph_center[None]
@@ -131,6 +146,11 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
             jnp.linalg.norm(n_s, axis=-1, keepdims=True), 1e-12)
         normal = jnp.where(closer[:, None], n_s, normal)
         gnormal = jnp.where(closer[:, None], n_s, gnormal)
+        # spherical uv from the outward normal (oracle/texture.py)
+        uv_s = jnp.stack(
+            [jnp.arctan2(n_s[:, 2], n_s[:, 0]) / (2.0 * jnp.pi) + 0.5,
+             jnp.arccos(jnp.clip(n_s[:, 1], -1.0, 1.0)) / jnp.pi], -1)
+        uv = jnp.where(closer[:, None], uv_s, uv)
         if scene.n_area_lights:
             light_id = jnp.where(closer, scene.sph_light_id[i_s],
                                  light_id)
@@ -151,6 +171,21 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
         pn = scene.pln_normal[i_p]
         normal = jnp.where(closer[:, None], pn, normal)
         gnormal = jnp.where(closer[:, None], pn, gnormal)
+        # planar uv in the stored normal's tangent frame (mirror of
+        # oracle/pathtrace.py plane uv — never the flipped shading normal)
+        pnu = pn / jnp.maximum(
+            jnp.linalg.norm(pn, axis=-1, keepdims=True), 1e-12)
+        axp = jnp.where(jnp.abs(pnu[:, 0:1]) > 0.9,
+                        jnp.array([[0.0, 1.0, 0.0]], pn.dtype),
+                        jnp.array([[1.0, 0.0, 0.0]], pn.dtype))
+        t1p = jnp.cross(pnu, axp)
+        t1p = t1p / jnp.maximum(
+            jnp.linalg.norm(t1p, axis=-1, keepdims=True), 1e-12)
+        t2p = jnp.cross(pnu, t1p)
+        rel = (o + t_p[:, None] * d) - scene.pln_point[i_p]
+        uv_p = jnp.stack([jnp.sum(rel * t1p, -1),
+                          jnp.sum(rel * t2p, -1)], -1)
+        uv = jnp.where(closer[:, None], uv_p, uv)
         # planes are never lights: clear any sphere light_id they occlude
         light_id = jnp.where(closer, -1, light_id)
 
@@ -165,6 +200,7 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
                            normal)
         gnormal = jnp.where(closer[:, None], tsh.gnormal.astype(o.dtype),
                             gnormal)
+        uv = jnp.where(closer[:, None], tsh.uv.astype(o.dtype), uv)
         if scene.n_area_lights:
             light_id = jnp.where(closer, scene.tri_light_id[i_t],
                                  light_id)
@@ -180,7 +216,9 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
                normal=normal, gnormal=gnormal,
                tangent=sh.tangent, frame_y=sh.frame_y, frame_z=sh.frame_z,
                h=jnp.where(is_hair, sh.h, 0.0),
-               radius=jnp.where(is_hair, sh.radius, 0.0))
+               radius=jnp.where(is_hair, sh.radius, 0.0), uv=uv,
+               hair_mid=scene.seg_mat_id[jnp.clip(
+                   idx, 0, scene.seg_mat_id.shape[0] - 1)])
 
 
 def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
@@ -303,6 +341,16 @@ def _area_light_pdf_sa(scene: Scene, el, pos, lpos, lnrm):
             / jnp.maximum(cos_l * scene.al_area[el], 1e-12))
 
 
+def _hair_mat_at(scene: Scene, hair_mid):
+    """Per-ray hair material: gather the (Mh, ...) table rows when the
+    scene carries per-shape hair materials (leaves keep their scalar
+    shape for single-material scenes so existing programs are unchanged —
+    hair_ctx broadcasts either way)."""
+    if scene.hair.beta_m.ndim == 0:
+        return scene.hair
+    return jax.tree.map(lambda a: a[hair_mid], scene.hair)
+
+
 def _diffuse_frame(nrm):
     a = jnp.where(jnp.abs(nrm[:, 0:1]) > 0.9,
                   jnp.array([[0.0, 1.0, 0.0]], nrm.dtype),
@@ -330,6 +378,9 @@ def trace_eyelight(scene: Scene, o, d, uniforms, chunk=2048,
                          nearest_segments=nearest_segments)
     is_hair = hs.mat == 0
     sp = scene.surf_mat.gather(hs.mat_id)
+    if scene.tex_meta.shape[0]:
+        from ..core.texture import apply_textures
+        sp = apply_textures(scene.tex_data, scene.tex_meta, sp, hs.uv)
     nrm = hs.normal * jnp.where(
         (jnp.sum(hs.normal * d, -1) > 0)[:, None], -1.0, 1.0)
     t1, t2 = _diffuse_frame(nrm)
@@ -337,7 +388,8 @@ def trace_eyelight(scene: Scene, o, d, uniforms, chunk=2048,
     fy = jnp.where(is_hair[:, None], hs.frame_y, t2)
     fz = jnp.where(is_hair[:, None], hs.frame_z, nrm)
     wo = _to_local(-d, fx, fy, fz)
-    f_hair = jh.hair_f(scene.hair, hs.h, wo, wo) * jnp.abs(wo[:, 2:3])
+    f_hair = jh.hair_f(_hair_mat_at(scene, hs.hair_mid), hs.h, wo,
+                       wo) * jnp.abs(wo[:, 2:3])
     f_surf = (js.surface_f(sp, wo, wo) * jnp.abs(wo[:, 2:3])
               + sp.emission)
     f = jnp.where(is_hair[:, None], f_hair, f_surf) * jnp.pi
@@ -413,6 +465,9 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
 
         is_hair = hs.mat == 0
         sp = scene.surf_mat.gather(hs.mat_id)
+        if scene.tex_meta.shape[0]:
+            from ..core.texture import apply_textures
+            sp = apply_textures(scene.tex_data, scene.tex_meta, sp, hs.uv)
         # emission of surface hits (area lights seen by BSDF rays),
         # MIS-weighted against the area-light NEE that could have reached
         # the same point (camera rays / delta bounces / naive: weight 1)
@@ -444,7 +499,7 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         # wi-independent BSDF work (refraction geometry, attenuation
         # chain, roughness remaps, tilted angles) computed ONCE and shared
         # by every NEE direction + the bounce sample (4-6 evals/bounce)
-        hctx = jh.hair_ctx(scene.hair, h, wo)
+        hctx = jh.hair_ctx(_hair_mat_at(scene, hs.hair_mid), h, wo)
 
         # direct lighting: every point light, deterministic sum
         for li in range(scene.n_lights if use_nee else 0):

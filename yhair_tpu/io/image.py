@@ -66,15 +66,95 @@ def load_pfm(path):
     return np.flipud(img).astype(np.float64)
 
 
+def _float_to_rgbe(img):
+    """(H, W, 3) float -> (H, W, 4) uint8 RGBE (shared-exponent)."""
+    img = np.maximum(np.asarray(img, np.float64), 0.0)
+    maxc = img.max(axis=-1)
+    rgbe = np.zeros(img.shape[:2] + (4,), np.uint8)
+    valid = maxc >= 1e-32
+    # frexp: maxc = m * 2^e with m in [0.5, 1)
+    m, e = np.frexp(np.where(valid, maxc, 1.0))
+    scale = m * 256.0 / np.where(valid, maxc, 1.0)
+    rgbe[..., :3] = np.where(valid[..., None],
+                             np.minimum(img * scale[..., None], 255.0),
+                             0.0).astype(np.uint8)
+    rgbe[..., 3] = np.where(valid, e + 128, 0).astype(np.uint8)
+    return rgbe
+
+
+def _rgbe_to_float(rgbe):
+    e = rgbe[..., 3].astype(np.int32)
+    scale = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    return (rgbe[..., :3].astype(np.float64) + 0.5) * scale[..., None]
+
+
+def save_radiance_hdr(path, img):
+    """Radiance .hdr (RGBE, flat scanlines — valid per the spec and
+    readable by every .hdr loader; reference analogue: yocto's stb HDR
+    writer, SURVEY.md §2.6)."""
+    img = np.asarray(img, np.float64)
+    h, w = img.shape[:2]
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {h} +X {w}\n".encode())
+        f.write(_float_to_rgbe(img).tobytes())
+
+
+def load_radiance_hdr(path):
+    """Reads flat and new-style RLE scanlines."""
+    with open(path, "rb") as f:
+        if not f.readline().startswith(b"#?"):
+            raise ValueError("not a Radiance HDR file")
+        while True:
+            line = f.readline()
+            if line in (b"\n", b"\r\n", b""):
+                break
+        dims = f.readline().split()
+        h, w = int(dims[1]), int(dims[3])
+        data = f.read()
+    out = np.zeros((h, w, 4), np.uint8)
+    pos = 0
+    for y in range(h):
+        # new-style RLE scanline marker: 0x02 0x02 then 16-bit width
+        if (w >= 8 and w < 32768 and data[pos] == 2 and data[pos + 1] == 2
+                and (data[pos + 2] << 8 | data[pos + 3]) == w):
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < w:
+                    n = data[pos]
+                    pos += 1
+                    if n > 128:           # run
+                        out[y, x:x + n - 128, c] = data[pos]
+                        x += n - 128
+                        pos += 1
+                    else:                 # literal
+                        out[y, x:x + n, c] = np.frombuffer(
+                            data, np.uint8, n, pos)
+                        x += n
+                        pos += n
+        else:                             # flat scanline
+            out[y] = np.frombuffer(data, np.uint8, w * 4,
+                                   pos).reshape(w, 4)
+            pos += w * 4
+    return _rgbe_to_float(out)
+
+
 def save_hdr(path, img):
-    """Dispatch on extension: .pfm or .npy."""
-    if str(path).endswith(".pfm"):
+    """Dispatch on extension: .pfm, .hdr (Radiance RGBE) or .npy."""
+    p = str(path)
+    if p.endswith(".pfm"):
         save_pfm(path, img)
+    elif p.endswith(".hdr"):
+        save_radiance_hdr(path, img)
     else:
         np.save(path, np.asarray(img, np.float32))
 
 
 def load_hdr(path):
-    if str(path).endswith(".pfm"):
+    p = str(path)
+    if p.endswith(".pfm"):
         return load_pfm(path)
+    if p.endswith(".hdr"):
+        return load_radiance_hdr(path)
     return np.load(path).astype(np.float64)

@@ -110,6 +110,27 @@ def _resolve_mesh(spec, base_dir):
     return mesh
 
 
+def _resolve_texture(spec, base_dir):
+    """Texture entry: {'file': img.png|.pfm} | {'checker': {...kwargs}} |
+    {'gradient': {...kwargs}} | inline {'data': [[[r,g,b],...],...]}."""
+    if "file" in spec:
+        from . import image as img_io
+        p = os.path.join(base_dir, spec["file"])
+        data = (img_io.load_pfm(p) if p.endswith(".pfm")
+                else img_io.load_png(p))
+    elif "checker" in spec:
+        from oracle.texture import checkerboard
+        data = checkerboard(**spec["checker"])
+    elif "gradient" in spec:
+        from oracle.texture import uv_gradient
+        data = uv_gradient(**spec["gradient"])
+    elif "data" in spec:
+        data = np.asarray(spec["data"], np.float64)
+    else:
+        raise ValueError(f"unknown texture source {spec}")
+    return {"data": np.asarray(data, np.float64)}
+
+
 def load(path):
     """-> (scene_dict, camera_dict) in the shared oracle format."""
     with open(path) as f:
@@ -125,8 +146,26 @@ def load(path):
     for k in ("aperture", "focus_dist"):
         if k in cam:
             camera[k] = float(cam[k])
+    strands = doc["strands"]
+    if isinstance(strands, list):
+        # multiple strand shapes, each with its own hair material
+        # (SURVEY.md §2.5: per-material hair params) -> concatenated
+        # segment soup + per-segment material-table ids
+        parts = [_resolve_strands(s, base) for s in strands]
+        mats = [_resolve_material(s.get("material",
+                                        doc.get("hair_material", {})))
+                for s in strands]
+        segs = tuple(np.concatenate([p[k] for p in parts])
+                     for k in range(4))
+        seg_mid = np.concatenate([np.full(len(p[0]), i, np.int64)
+                                  for i, p in enumerate(parts)])
+        extra = {"hair_materials": mats, "segment_mat_id": seg_mid}
+    else:
+        segs = _resolve_strands(strands, base)
+        extra = {}
     scene = {
-        "segments": _resolve_strands(doc["strands"], base),
+        "segments": segs,
+        **extra,
         "hair_material": _resolve_material(doc.get("hair_material", {})),
         "spheres": doc.get("spheres", []),
         "planes": doc.get("planes", []),
@@ -134,6 +173,8 @@ def load(path):
         "point_lights": doc.get("point_lights", []),
         "environment": np.asarray(doc.get("environment", [0, 0, 0]),
                                   np.float64),
+        "textures": [_resolve_texture(t, base)
+                     for t in doc.get("textures", [])],
     }
     return scene, camera
 
@@ -179,6 +220,15 @@ def save(path, scene, camera, strands_ply="strands.ply"):
         elif "albedo" in mesh:
             entry["albedo"] = mesh["albedo"]
         doc["meshes"].append(entry)
+
+    if scene.get("textures"):
+        from . import image as img_io
+        doc["textures"] = []
+        for i, tex in enumerate(scene["textures"]):
+            tex_pfm = f"texture_{i}.pfm"
+            img_io.save_pfm(os.path.join(base, tex_pfm),
+                            np.asarray(tex["data"], np.float64))
+            doc["textures"].append({"file": tex_pfm})
 
     def clean(x):
         if isinstance(x, dict):

@@ -372,8 +372,17 @@ def _common_call(kernel, ids, counts, extra_in, extra_in_specs, out_shape,
 
 
 # prefix pass length: front-to-back clusters visited to seed the per-ray
-# upper bound before the t_max-pruned main pass (see nearest_hit)
-K_PREFIX = 32
+# upper bound before the t_max-pruned main pass (see nearest_hit).
+# Swept on the v5e hairball bench: fwd(depth 4) 738/685/626/581/558 ms at
+# K = 16/32/64/96/128 — the prefix loop is overflow-free and cheap, so a
+# bigger seed pass that resolves more rays wins. YHAIR_K_PREFIX overrides.
+K_PREFIX = int(__import__("os").environ.get("YHAIR_K_PREFIX", "128"))
+
+# any-hit prefix length (see any_hit): shadow rays in dense hair occlude
+# almost immediately, so a short pass resolves ~97% of rays and the
+# straggler pass sees near-empty block lists
+K_ANY_PREFIX = int(__import__("os").environ.get("YHAIR_K_ANY_PREFIX",
+                                                "16"))
 
 
 def _hit_pass(o, d, seeds, ids, counts, cl, block, interpret, k_cap,
@@ -455,23 +464,46 @@ def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False,
     """
     n = o.shape[0]
     assert n % block == 0, f"rays {n} % block {block}"
-    k_cap = _k_cap(n // block, cl.n_clusters)
+    c = cl.n_clusters
+    k_cap = _k_cap(n // block, c)
     if stream is None:
         stream = _use_stream(cl)
+
+    spec_b1 = pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
+                           memory_space=pltpu.VMEM)
+
+    def run_pass(o_, ids, counts, cap):
+        kernel = functools.partial(_any_kernel,
+                                   cluster_size=cl.cluster_size,
+                                   block=block, k_cap=cap, stream=stream)
+        (occ,) = _common_call(
+            kernel, ids, counts, (t_max.reshape(n, 1),), (spec_b1,),
+            [_out_struct((n, 1), jnp.int32, o_)], [spec_b1],
+            o_, d, cl, block, interpret, cap, stream)
+        return occ[:, 0] > 0
+
     # per-ray t_max pruning keeps shadow-ray cluster lists short (only
     # clusters entered before the light can occlude)
     ids, counts = _block_cluster_lists(o, d, cl, block, t_max=t_max)
-    kernel = functools.partial(_any_kernel, cluster_size=cl.cluster_size,
-                               block=block, k_cap=k_cap, stream=stream)
-    (occ,) = _common_call(
-        kernel, ids, counts, (t_max.reshape(n, 1),),
-        (pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
-                      memory_space=pltpu.VMEM),),
-        [_out_struct((n, 1), jnp.int32, o)],
-        [pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
-                      memory_space=pltpu.VMEM)],
-        o, d, cl, block, interpret, k_cap, stream)
-    return occ[:, 0] > 0
+    if c <= K_ANY_PREFIX:
+        return run_pass(o, ids, counts, k_cap)
+
+    # TWO-PASS: most shadow rays in dense hair occlude within the first
+    # few front-to-back clusters, but the in-kernel early exit only fires
+    # once the WHOLE block is dark — a handful of unoccluded stragglers
+    # force the full list. Pass A scans a short prefix; pass B neutralizes
+    # the rays pass A already resolved (origin -> far away, so they
+    # contribute nothing to any block's cluster union) and rebuilds the
+    # lists for the stragglers only — most blocks then have zero clusters.
+    occ_a = run_pass(o, ids[:, :K_ANY_PREFIX],
+                     jnp.minimum(counts, K_ANY_PREFIX), K_ANY_PREFIX)
+    # a block whose list fit entirely in the prefix is fully resolved
+    done = (counts <= K_ANY_PREFIX)
+    done_ray = jnp.repeat(done, block) | occ_a
+    o_b = jnp.where(done_ray[:, None], 1e8, o)
+    ids_b, counts_b = _block_cluster_lists(o_b, d, cl, block, t_max=t_max)
+    occ_b = run_pass(o_b, ids_b, counts_b, k_cap)
+    return occ_a | occ_b
 
 
 def _pad_rays(o, d, block, extra=None):

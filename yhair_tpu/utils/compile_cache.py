@@ -26,7 +26,8 @@ def enable(cache_dir: str | None = None) -> str:
     if not _enabled:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        # cache everything: even 1-2 s kernels add up across test runs
+        # cache compiles above a 0.5 s floor: big renders dominate the
+        # win; sub-0.5 s programs stay out to keep the cache dir small
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         _enabled = True
