@@ -79,6 +79,7 @@ def scene_area_lights(scene):
     n_pl = len(scene.get("planes") or [])
     mats = scene_surface_materials(scene)
     kind, p0s, p1s, p2s, ems, areas = [], [], [], [], [], []
+    uv0s, uv1s, uv2s, texs = [], [], [], []
     sph_light_id = np.full(len(spheres), -1, np.int64)
     tri_light_id = []
     for i, sph in enumerate(spheres):
@@ -91,13 +92,22 @@ def scene_area_lights(scene):
             p2s.append(np.zeros(3))
             ems.append(em)
             areas.append(4.0 * np.pi * sph["radius"] ** 2)
+            # sphere uv comes from the sampled normal at NEE time
+            uv0s.append(np.zeros(2))
+            uv1s.append(np.zeros(2))
+            uv2s.append(np.zeros(2))
+            texs.append(int(mats[i].get("emission_tex", -1)))
     for mi, mesh in enumerate(meshes):
         em = mats[len(spheres) + n_pl + mi]["emission"]
+        etex = int(mats[len(spheres) + n_pl + mi].get("emission_tex", -1))
         tri = np.asarray(mesh["triangles"], np.int64)
         ids = np.full(len(tri), -1, np.int64)
         if (em > 0).any():
             pos = np.asarray(mesh["positions"], np.float64)
             v = pos[tri]
+            tc = mesh.get("texcoords")
+            uvv = (np.asarray(tc, np.float64)[tri] if tc is not None
+                   else np.zeros((len(tri), 3, 2)))
             ar = 0.5 * np.linalg.norm(
                 np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1)
             for ti in range(len(tri)):
@@ -108,6 +118,11 @@ def scene_area_lights(scene):
                 p2s.append(v[ti, 2])
                 ems.append(em)
                 areas.append(ar[ti])
+                uv0s.append(uvv[ti, 0])
+                uv1s.append(uvv[ti, 1])
+                uv2s.append(uvv[ti, 2])
+                # texture only applies when the mesh carries texcoords
+                texs.append(etex if tc is not None else -1)
         tri_light_id.append(ids)
     if not kind:
         return None
@@ -120,6 +135,11 @@ def scene_area_lights(scene):
         "p0": np.asarray(p0s), "p1": np.asarray(p1s),
         "p2": np.asarray(p2s), "emission": ems, "area": areas,
         "pmf": pmf, "cdf": np.cumsum(pmf),
+        # emission-texture support at the sampled light point (NEE must
+        # integrate the SAME textured emission that BSDF-ray hits see, or
+        # MIS combines two different integrands):
+        "uv0": np.asarray(uv0s), "uv1": np.asarray(uv1s),
+        "uv2": np.asarray(uv2s), "tex": np.asarray(texs, np.int64),
         "sph_light_id": sph_light_id,
         "tri_light_id": (np.concatenate(tri_light_id)
                          if tri_light_id else np.zeros(0, np.int64)),
@@ -127,25 +147,52 @@ def scene_area_lights(scene):
 
 
 def _area_light_point(al, el, u0, u1):
-    """Sample a point on light element `el`. -> (point, normal)."""
+    """Sample a point on light element `el`. -> (point, normal, uv).
+
+    uv at the sampled point (barycentric texcoords for triangles,
+    spherical mapping for spheres) feeds the emission-texture lookup so
+    NEE and BSDF-hit emission integrate the same textured radiance."""
     kind = al["kind"][el]
     # triangle: uniform barycentric
     su = np.sqrt(np.maximum(u0, 0.0))
     w1 = su * (1.0 - u1)
     w2 = su * u1
-    p_tri = ((1.0 - w1 - w2)[:, None] * al["p0"][el]
+    w0 = 1.0 - w1 - w2
+    p_tri = (w0[:, None] * al["p0"][el]
              + w1[:, None] * al["p1"][el] + w2[:, None] * al["p2"][el])
     n_tri = np.cross(al["p1"][el] - al["p0"][el],
                      al["p2"][el] - al["p0"][el])
     n_tri = geo.normalize(n_tri)
+    uv_tri = (w0[:, None] * al["uv0"][el] + w1[:, None] * al["uv1"][el]
+              + w2[:, None] * al["uv2"][el])
     # sphere: uniform area
     z = 1.0 - 2.0 * u0
     r = np.sqrt(np.maximum(0.0, 1.0 - z * z))
     phi = 2.0 * np.pi * u1
     n_sph = np.stack([r * np.cos(phi), r * np.sin(phi), z], axis=-1)
     p_sph = al["p0"][el] + n_sph * al["p1"][el][:, 0:1]
+    uv_sph = np.stack(
+        [np.arctan2(n_sph[:, 2], n_sph[:, 0]) / (2.0 * np.pi) + 0.5,
+         np.arccos(np.clip(n_sph[:, 1], -1.0, 1.0)) / np.pi], axis=-1)
     tri = (kind == 0)[:, None]
-    return (np.where(tri, p_tri, p_sph), np.where(tri, n_tri, n_sph))
+    return (np.where(tri, p_tri, p_sph), np.where(tri, n_tri, n_sph),
+            np.where(tri, uv_tri, uv_sph))
+
+
+def _area_light_emission(scene, al, el, uv):
+    """Textured emission at the sampled light point (mirror of the
+    emission apply_textures path at BSDF-ray hits)."""
+    le = al["emission"][el].copy()
+    tid = al["tex"][el]
+    if not (tid >= 0).any():
+        return le
+    from . import texture as otex
+    texs = otex.scene_textures(scene)
+    for ti, img in enumerate(texs):
+        m = tid == ti
+        if m.any():
+            le[m] = le[m] * otex.tex_bilinear(img, uv[m, 0], uv[m, 1])
+    return le
 
 
 def _area_light_pdf_sa(al, el, pos, lpos, lnrm):
@@ -468,7 +515,7 @@ def trace(scene, o, d, uniforms, max_depth=4):
                           D_PIXEL + D_BOUNCE * depth + 10]
             el = np.minimum(np.searchsorted(al["cdf"], u_sel),
                             len(al["cdf"]) - 1)
-            lpos, lnrm = _area_light_point(al, el, ua[:, 0], ua[:, 1])
+            lpos, lnrm, luv = _area_light_point(al, el, ua[:, 0], ua[:, 1])
             to_l = lpos - pos
             dist = np.linalg.norm(to_l, axis=-1)
             wi_w = to_l / np.maximum(dist[:, None], 1e-12)
@@ -482,7 +529,7 @@ def trace(scene, o, d, uniforms, max_depth=4):
             pdf_b = np.where(is_hair, bsdf.pdf(wo, wi),
                              osb.surface_pdf(sp, wo, wi))
             w_mis = pdf_a ** 2 / np.maximum(pdf_a ** 2 + pdf_b ** 2, 1e-30)
-            le = al["emission"][el]
+            le = _area_light_emission(scene, al, el, luv)
             ok = alive & vis & (pdf_a > 1e-12) & (dist > 4.0 * ray_eps)
             contrib = beta * f * le * (w_mis / np.maximum(pdf_a,
                                                           1e-12))[:, None]

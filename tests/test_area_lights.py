@@ -96,3 +96,48 @@ def test_nee_matches_naive():
     # and overall image means agree
     assert abs(img_path.mean() - img_naive.mean()) \
         / max(img_path.mean(), 1e-9) < 0.15
+
+
+def test_textured_emission_nee_parity():
+    """Emission textures on area lights: NEE must evaluate the emission
+    texture at the SAMPLED light point (ADVICE r3 medium — it used to use
+    the untextured constant, so 'path' and 'naive' converged to different
+    images). Checks (a) oracle/JAX parity on a textured-emission scene
+    and (b) a constant 0.5 texture exactly halves the NEE contribution."""
+    from oracle.texture import uv_gradient
+
+    scene, cam = _light_scene()
+    quad = scene["meshes"][0]
+    # give the quad texcoords + a smooth emission texture
+    quad = dict(quad, texcoords=np.array(
+        [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]]))
+    quad["material"] = dict(quad["material"], emission_tex=0)
+    scene_tex = dict(scene, meshes=[quad],
+                     textures=[{"data": uv_gradient(16, 16)}])
+
+    rng = np.random.default_rng(7)
+    u = rng.random((24, 24, 2, opt.n_uniform_dims(2)))
+    img_o = opt.render(scene_tex, cam, u, max_depth=2)
+    sc = jscene.from_dict(scene_tex)
+    c = jscene.camera_from_dict(cam)
+    img_j = np.asarray(jax.jit(
+        lambda s, cc, uu: jpath.render(s, cc, uu, max_depth=2, chunk=256)
+    )(sc, c, jnp.asarray(u, jnp.float32)))
+    diff = np.abs(img_o - img_j)
+    assert np.isfinite(img_j).all()
+    assert np.quantile(diff, 0.99) < 2e-2
+
+    # constant half-gray texture == halved constant emission, exactly.
+    # Quad-only light (the sphere's RELATIVE power would change the
+    # element-selection pmf between the two scenes otherwise).
+    base = dict(scene, spheres=[])
+    half = dict(base, meshes=[quad],
+                textures=[{"data": np.full((4, 4, 3), 0.5)}])
+    halved_quad = dict(quad)
+    halved_quad["material"] = dict(quad["material"],
+                                   emission=[3.0, 2.5, 2.0])
+    halved_quad["material"].pop("emission_tex")
+    img_tex = opt.render(half, cam, u, max_depth=2)
+    img_half = opt.render(dict(base, meshes=[halved_quad]), cam, u,
+                          max_depth=2)
+    np.testing.assert_allclose(img_tex, img_half, atol=1e-9)

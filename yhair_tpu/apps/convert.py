@@ -10,6 +10,10 @@ converter analogue (SURVEY.md §2.11, §3.5 [U:apps/yscnproc/, scripts/]).
 
   # PLY -> .hair
   python -m yhair_tpu.apps.convert ply2hair wig.ply wig.hair
+
+  # OBJ mesh <-> PLY mesh
+  python -m yhair_tpu.apps.convert obj2ply bunny.obj bunny.ply
+  python -m yhair_tpu.apps.convert ply2obj bunny.ply bunny.obj
 """
 
 from __future__ import annotations
@@ -39,6 +43,11 @@ def build_parser():
     gs.add_argument("generator")
     gs.add_argument("output")
     gs.add_argument("--kwargs", default="{}")
+
+    for name in ("obj2ply", "ply2obj"):
+        c = sub.add_parser(name)
+        c.add_argument("input")
+        c.add_argument("output")
     return p
 
 
@@ -84,6 +93,19 @@ def main(argv=None):
         scene_json.save(args.output, scene, cam)
         print(f"wrote {args.output} "
               f"({scene['segments'][0].shape[0]} segments)")
+
+    elif args.cmd in ("obj2ply", "ply2obj"):
+        from ..io import obj
+        load = obj.load_mesh if args.cmd == "obj2ply" else ply.load_mesh
+        mesh = load(args.input)
+        kw = dict(normals=mesh.get("normals"))
+        if args.cmd == "ply2obj":
+            save, kw["texcoords"] = obj.save_mesh, mesh.get("texcoords")
+        else:
+            save = ply.save_mesh
+        save(args.output, mesh["positions"], mesh["triangles"], **kw)
+        print(f"wrote {args.output}: {len(mesh['positions'])} vertices, "
+              f"{len(mesh['triangles'])} triangles")
 
 
 if __name__ == "__main__":

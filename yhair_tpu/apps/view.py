@@ -77,7 +77,7 @@ def _apply_edits(edits, sc, cam_d, tonemap):
                 jnp.asarray(v, jnp.float32), hair.beta_n))
         elif k == "melanin":
             hair = hair._replace(sigma_a=jh.sigma_a_from_concentration(
-                jnp.float32(v[0]), jnp.float32(v[1]))[0])
+                jnp.float32(v[0]), jnp.float32(v[1])))
         elif k == "cam_from":
             cam_d["position"] = list(map(float, v))
         elif k == "cam_to":

@@ -1,7 +1,8 @@
 """Environment-map lighting in JAX (mirror of oracle/envmap.py).
 
-Equirectangular, y-up; nearest-texel eval so oracle and TPU renders match
-exactly. Sampling via one searchsorted over the flat luminance*sin(theta)
+Equirectangular, y-up; bilinear eval mirrored texel-for-texel by
+oracle/envmap.py so oracle and TPU renders match to f32 tolerance.
+Sampling via one searchsorted over the flat luminance*sin(theta)
 CDF; pdfs in solid-angle measure. Scene carries the tables as arrays
 (core/scene.py) so everything jits; `has_env(scene)` is a static shape
 check usable for Python-level branching inside traced code.

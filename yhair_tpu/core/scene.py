@@ -55,6 +55,10 @@ class Scene(NamedTuple):
     al_area: jax.Array       # (A,)
     al_pmf: jax.Array        # (A,)
     al_cdf: jax.Array        # (A,)
+    al_uv0: jax.Array        # (A, 2) per-vertex texcoords (tri lights)
+    al_uv1: jax.Array        # (A, 2)
+    al_uv2: jax.Array        # (A, 2)
+    al_tex: jax.Array        # (A,) int32 emission-texture id, -1 = none
     sph_light_id: jax.Array  # (NS,) int32 element id, -1 = not a light
     tri_light_id: jax.Array  # (T,) int32 aligned with tris
     env: jax.Array           # (3,) constant environment term
@@ -131,10 +135,13 @@ def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
     al = scene_area_lights(scene)
     if al is None:
         z3 = jnp.zeros((0, 3), dtype)
+        z2 = jnp.zeros((0, 2), dtype)
         z1 = jnp.zeros((0,), dtype)
         al_fields = dict(
             al_kind=jnp.zeros((0,), jnp.int32), al_p0=z3, al_p1=z3,
             al_p2=z3, al_emission=z3, al_area=z1, al_pmf=z1, al_cdf=z1,
+            al_uv0=z2, al_uv1=z2, al_uv2=z2,
+            al_tex=jnp.zeros((0,), jnp.int32),
             sph_light_id=jnp.full((len(spheres),), -1, jnp.int32),
             tri_light_id=jnp.full(
                 (int(sum(len(np.asarray(m["triangles"])) for m in meshes)),),
@@ -149,6 +156,10 @@ def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
             al_area=jnp.asarray(al["area"], dtype),
             al_pmf=jnp.asarray(al["pmf"], dtype),
             al_cdf=jnp.asarray(al["cdf"], dtype),
+            al_uv0=jnp.asarray(al["uv0"], dtype),
+            al_uv1=jnp.asarray(al["uv1"], dtype),
+            al_uv2=jnp.asarray(al["uv2"], dtype),
+            al_tex=jnp.asarray(al["tex"], jnp.int32),
             sph_light_id=jnp.asarray(al["sph_light_id"], jnp.int32),
             tri_light_id=jnp.asarray(al["tri_light_id"], jnp.int32))
 

@@ -310,25 +310,31 @@ def _ray_sort_perm(o, d, alive, lo, inv_ext):
 
 def _area_light_point(scene: Scene, el, u0, u1):
     """Sample a point on area-light element `el` — mirrors
-    oracle/pathtrace.py:_area_light_point. -> (point, normal)."""
+    oracle/pathtrace.py:_area_light_point. -> (point, normal, uv)."""
     kind = scene.al_kind[el]
     p0, p1, p2 = scene.al_p0[el], scene.al_p1[el], scene.al_p2[el]
     su = jnp.sqrt(jnp.maximum(u0, 0.0))
     w1 = su * (1.0 - u1)
     w2 = su * u1
-    p_tri = ((1.0 - w1 - w2)[:, None] * p0 + w1[:, None] * p1
-             + w2[:, None] * p2)
+    w0 = 1.0 - w1 - w2
+    p_tri = w0[:, None] * p0 + w1[:, None] * p1 + w2[:, None] * p2
     n_tri = jnp.cross(p1 - p0, p2 - p0)
     n_tri = n_tri / jnp.maximum(
         jnp.linalg.norm(n_tri, axis=-1, keepdims=True), 1e-20)
+    uv_tri = (w0[:, None] * scene.al_uv0[el] + w1[:, None] * scene.al_uv1[el]
+              + w2[:, None] * scene.al_uv2[el])
     z = 1.0 - 2.0 * u0
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
     phi = 2.0 * jnp.pi * u1
     n_sph = jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
     p_sph = p0 + n_sph * p1[:, 0:1]
+    uv_sph = jnp.stack(
+        [jnp.arctan2(n_sph[:, 2], n_sph[:, 0]) / (2.0 * jnp.pi) + 0.5,
+         jnp.arccos(jnp.clip(n_sph[:, 1], -1.0, 1.0)) / jnp.pi], axis=-1)
     is_tri = (kind == 0)[:, None]
     return (jnp.where(is_tri, p_tri, p_sph),
-            jnp.where(is_tri, n_tri, n_sph))
+            jnp.where(is_tri, n_tri, n_sph),
+            jnp.where(is_tri, uv_tri, uv_sph))
 
 
 def _area_light_pdf_sa(scene: Scene, el, pos, lpos, lnrm):
@@ -548,7 +554,8 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
             el = jnp.minimum(
                 jnp.searchsorted(scene.al_cdf, ub[:, 5]),
                 scene.n_area_lights - 1).astype(jnp.int32)
-            lpos, lnrm = _area_light_point(scene, el, ub[:, 8], ub[:, 9])
+            lpos, lnrm, luv = _area_light_point(scene, el, ub[:, 8],
+                                                ub[:, 9])
             lpos = jax.lax.stop_gradient(lpos)
             to_l = lpos - pos
             dist = jnp.linalg.norm(to_l, axis=-1)
@@ -571,6 +578,14 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
             w_mis = pdf_a ** 2 / jnp.maximum(pdf_a ** 2 + pdf_b ** 2,
                                              1e-30)
             le = scene.al_emission[el]
+            if scene.tex_meta.shape[0]:
+                # textured emission at the sampled point: NEE and
+                # BSDF-hit emission must integrate the same radiance or
+                # MIS combines two different integrands (biased render)
+                from ..core.texture import sample_bilinear
+                le = le * sample_bilinear(scene.tex_data, scene.tex_meta,
+                                          scene.al_tex[el], luv[:, 0],
+                                          luv[:, 1])
             ok = alive & vis & (pdf_a > 1e-12) & (dist > 4.0 * ray_eps)
             contrib = beta * f * le * (
                 w_mis / jnp.maximum(pdf_a, 1e-12))[:, None]

@@ -65,7 +65,8 @@ def _resolve_strands(spec, base_dir):
     elif "generator" in spec:
         import scenes.generators as gen
         fn = getattr(gen, spec["generator"])
-        kwargs = {k: v for k, v in spec.items() if k != "generator"}
+        kwargs = {k: v for k, v in spec.items()
+                  if k not in ("generator", "material", "scale", "offset")}
         scene_d, _cam = fn(**kwargs)
         segs = scene_d["segments"]
     else:
@@ -79,12 +80,15 @@ def _resolve_strands(spec, base_dir):
 
 
 def _resolve_mesh(spec, base_dir):
-    """Mesh entry: {'ply': path} | {'generator': name, ...kwargs} |
-    inline {'positions': ..., 'triangles': ..., 'normals': ...}; plus
-    optional 'material', 'scale', 'offset'."""
+    """Mesh entry: {'ply': path} | {'obj': path} | {'generator': name,
+    ...kwargs} | inline {'positions': ..., 'triangles': ...,
+    'normals': ...}; plus optional 'material', 'scale', 'offset'."""
     from . import ply
     if "ply" in spec:
         mesh = ply.load_mesh(os.path.join(base_dir, spec["ply"]))
+    elif "obj" in spec:
+        from . import obj
+        mesh = obj.load_mesh(os.path.join(base_dir, spec["obj"]))
     elif "generator" in spec:
         import scenes.generators as gen
         fn = getattr(gen, spec["generator"])
@@ -111,13 +115,18 @@ def _resolve_mesh(spec, base_dir):
 
 
 def _resolve_texture(spec, base_dir):
-    """Texture entry: {'file': img.png|.pfm} | {'checker': {...kwargs}} |
-    {'gradient': {...kwargs}} | inline {'data': [[[r,g,b],...],...]}."""
+    """Texture entry: {'file': img.png|.pfm|.hdr} | {'checker':
+    {...kwargs}} | {'gradient': {...kwargs}} | inline {'data':
+    [[[r,g,b],...],...]}."""
     if "file" in spec:
         from . import image as img_io
         p = os.path.join(base_dir, spec["file"])
-        data = (img_io.load_pfm(p) if p.endswith(".pfm")
-                else img_io.load_png(p))
+        if p.endswith(".pfm"):
+            data = img_io.load_pfm(p)
+        elif p.endswith(".hdr"):
+            data = img_io.load_radiance_hdr(p)
+        else:
+            data = img_io.load_png(p)
     elif "checker" in spec:
         from oracle.texture import checkerboard
         data = checkerboard(**spec["checker"])
@@ -176,32 +185,56 @@ def load(path):
         "textures": [_resolve_texture(t, base)
                      for t in doc.get("textures", [])],
     }
+    if "env_map" in doc:
+        # environment map from any texture source (incl. {'file': x.hdr})
+        scene["env_map"] = _resolve_texture(doc["env_map"], base)["data"]
     return scene, camera
 
 
+def _material_json(m):
+    return {
+        "sigma_a": np.asarray(m["sigma_a"]).tolist(),
+        "beta_m": float(m["beta_m"]), "beta_n": float(m["beta_n"]),
+        "alpha_deg": float(np.rad2deg(m.get("alpha", 0.0349066))),
+        "eta": float(m.get("eta", 1.55)),
+    }
+
+
 def save(path, scene, camera, strands_ply="strands.ply"):
-    """Write the JSON + a PLY next to it holding the strand geometry."""
+    """Write the JSON + PLY(s) next to it holding the strand geometry.
+
+    Multi-shape scenes ('hair_materials' + 'segment_mat_id') round-trip:
+    one PLY per hair material is written and referenced from a 'strands'
+    LIST, mirroring load()'s list form."""
     from . import ply
     base = os.path.dirname(os.path.abspath(path))
-    p0, p1, r0, r1 = scene["segments"]
-    # rebuild a vertex/line representation from the segment soup
-    v = np.concatenate([p0, p1])
-    r = np.concatenate([r0, r1])
-    n = len(p0)
-    lines = np.stack([np.arange(n), np.arange(n) + n], axis=-1)
-    ply.save_strands(os.path.join(base, strands_ply), v, r, lines)
-    m = scene["hair_material"]
+    p0, p1, r0, r1 = (np.asarray(a) for a in scene["segments"])
+
+    def write_strand_ply(name, sel):
+        # rebuild a vertex/line representation from the segment soup
+        v = np.concatenate([p0[sel], p1[sel]])
+        r = np.concatenate([r0[sel], r1[sel]])
+        n = int(sel.sum()) if sel.dtype == bool else len(sel)
+        lines = np.stack([np.arange(n), np.arange(n) + n], axis=-1)
+        ply.save_strands(os.path.join(base, name), v, r, lines)
+
+    if scene.get("hair_materials"):
+        mids = np.asarray(scene["segment_mat_id"])
+        stem = os.path.splitext(strands_ply)[0]
+        strands_doc = []
+        for i, m in enumerate(scene["hair_materials"]):
+            name = f"{stem}_{i}.ply"
+            write_strand_ply(name, mids == i)
+            strands_doc.append({"ply": name, "material": _material_json(m)})
+    else:
+        write_strand_ply(strands_ply, np.arange(len(p0)))
+        strands_doc = {"ply": strands_ply}
     doc = {
         "camera": {k: (float(v) if np.ndim(v) == 0 else
                        np.asarray(v).tolist())
                    for k, v in camera.items()},
-        "hair_material": {
-            "sigma_a": np.asarray(m["sigma_a"]).tolist(),
-            "beta_m": float(m["beta_m"]), "beta_n": float(m["beta_n"]),
-            "alpha_deg": float(np.rad2deg(m.get("alpha", 0.0349066))),
-            "eta": float(m.get("eta", 1.55)),
-        },
-        "strands": {"ply": strands_ply},
+        "hair_material": _material_json(scene["hair_material"]),
+        "strands": strands_doc,
         "spheres": scene.get("spheres", []),
         "planes": scene.get("planes", []),
         "meshes": [],
@@ -229,6 +262,14 @@ def save(path, scene, camera, strands_ply="strands.ply"):
             img_io.save_pfm(os.path.join(base, tex_pfm),
                             np.asarray(tex["data"], np.float64))
             doc["textures"].append({"file": tex_pfm})
+
+    if scene.get("env_map") is not None:
+        from . import image as img_io
+        em = scene["env_map"]
+        em = em.image if hasattr(em, "image") else em
+        img_io.save_pfm(os.path.join(base, "env_map.pfm"),
+                        np.asarray(em, np.float64))
+        doc["env_map"] = {"file": "env_map.pfm"}
 
     def clean(x):
         if isinstance(x, dict):
