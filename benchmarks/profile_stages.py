@@ -29,21 +29,7 @@ from yhair_tpu.utils import compile_cache
 compile_cache.enable()
 
 
-def timeit(fn, *args, reps=5):
-    """Async-amortized timing.
-
-    The tunneled TPU runtime here drops into a ~25 ms polling slow path
-    for every blocking sync once any jit with a (N, 3)-shaped output has
-    run (measured: sync 0.08 ms -> 24.8 ms, async enqueue unchanged).
-    Per-rep block_until_ready therefore reads the sync floor, not the
-    stage cost — enqueue all reps (device executes in order) and block
-    once, so the floor is paid once and amortized across reps.
-    """
-    out = jax.block_until_ready(fn(*args))  # compile
-    t0 = time.time()
-    outs = [fn(*args) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    return (time.time() - t0) / reps, out
+from benchmarks._timing import timeit  # noqa: E402  (truthful D2H timing)
 
 
 def main():

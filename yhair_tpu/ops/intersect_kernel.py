@@ -429,8 +429,11 @@ def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False,
     if stream is None:
         stream = _use_stream(cl)
 
+    # pass-1 prefix honors the same SMEM ids budget as the main pass
+    # (ADVICE r3: a fixed 128-wide prefix at >131k rays exceeded it 4x)
+    k_prefix = min(K_PREFIX, k_cap)
     ids, counts = _block_cluster_lists(o, d, cl, block)
-    if c <= K_PREFIX:
+    if c <= k_prefix:
         seeds = (jnp.full((n, 1), INF, jnp.float32),
                  jnp.zeros((n, 1), jnp.int32),
                  jnp.full((n, 1), 3.4e38, jnp.float32))
@@ -441,9 +444,9 @@ def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False,
                  jnp.zeros((n, 1), jnp.int32),
                  jnp.full((n, 1), 3.4e38, jnp.float32))
         t1, i1, oid1 = _hit_pass(
-            o, d, seeds, ids[:, :K_PREFIX],
-            jnp.minimum(counts, K_PREFIX), cl, block, interpret,
-            K_PREFIX, stream)
+            o, d, seeds, ids[:, :k_prefix],
+            jnp.minimum(counts, k_prefix), cl, block, interpret,
+            k_prefix, stream)
         ids2, counts2 = _block_cluster_lists(o, d, cl, block,
                                              t_max=t1[:, 0])
         t, idx, _ = _hit_pass(o, d, (t1, i1, oid1), ids2, counts2, cl,
@@ -472,12 +475,12 @@ def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False,
     spec_b1 = pl.BlockSpec((block, 1), lambda b, *_: (b, 0),
                            memory_space=pltpu.VMEM)
 
-    def run_pass(o_, ids, counts, cap):
+    def run_pass(o_, tm, ids, counts, cap):
         kernel = functools.partial(_any_kernel,
                                    cluster_size=cl.cluster_size,
                                    block=block, k_cap=cap, stream=stream)
         (occ,) = _common_call(
-            kernel, ids, counts, (t_max.reshape(n, 1),), (spec_b1,),
+            kernel, ids, counts, (tm.reshape(n, 1),), (spec_b1,),
             [_out_struct((n, 1), jnp.int32, o_)], [spec_b1],
             o_, d, cl, block, interpret, cap, stream)
         return occ[:, 0] > 0
@@ -486,7 +489,7 @@ def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False,
     # clusters entered before the light can occlude)
     ids, counts = _block_cluster_lists(o, d, cl, block, t_max=t_max)
     if c <= K_ANY_PREFIX:
-        return run_pass(o, ids, counts, k_cap)
+        return run_pass(o, t_max, ids, counts, k_cap)
 
     # TWO-PASS: most shadow rays in dense hair occlude within the first
     # few front-to-back clusters, but the in-kernel early exit only fires
@@ -495,14 +498,18 @@ def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False,
     # the rays pass A already resolved (origin -> far away, so they
     # contribute nothing to any block's cluster union) and rebuilds the
     # lists for the stragglers only — most blocks then have zero clusters.
-    occ_a = run_pass(o, ids[:, :K_ANY_PREFIX],
+    occ_a = run_pass(o, t_max, ids[:, :K_ANY_PREFIX],
                      jnp.minimum(counts, K_ANY_PREFIX), K_ANY_PREFIX)
     # a block whose list fit entirely in the prefix is fully resolved
     done = (counts <= K_ANY_PREFIX)
     done_ray = jnp.repeat(done, block) | occ_a
-    o_b = jnp.where(done_ray[:, None], 1e8, o)
-    ids_b, counts_b = _block_cluster_lists(o_b, d, cl, block, t_max=t_max)
-    occ_b = run_pass(o_b, ids_b, counts_b, k_cap)
+    # neutralize resolved rays STRUCTURALLY: t_max below T_MIN excludes
+    # them from both the list rebuild (tn <= t_max, tn >= T_MIN) and the
+    # kernel's s <= t_cap test, at any scene scale (ADVICE r3: the old
+    # origin -> 1e8 displacement relied on geometric misses)
+    tmax_b = jnp.where(done_ray, 0.0, t_max)
+    ids_b, counts_b = _block_cluster_lists(o, d, cl, block, t_max=tmax_b)
+    occ_b = run_pass(o, tmax_b, ids_b, counts_b, k_cap)
     return occ_a | occ_b
 
 
