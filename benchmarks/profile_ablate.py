@@ -29,12 +29,12 @@ from yhair_tpu.utils import compile_cache
 compile_cache.enable()
 
 
+from benchmarks._timing import timeit as _timeit
+
+
 def timeit(fn, *args, reps=5):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.time()
-    outs = [fn(*args) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    return (time.time() - t0) / reps
+    t, _ = _timeit(fn, *args, reps=reps)
+    return t
 
 
 def main():
@@ -71,18 +71,21 @@ def main():
                                sampler=sampler, sort_rays=sort)
         return fwd
 
-    cases = [
-        ("full d4", make(4)),
-        ("no_sort d4", make(4, sort=False)),
-        ("naive d4", make(4, sampler="naive")),
-        ("full d1", make(1)),
-        ("full d2", make(2)),
-        ("full d3", make(3)),
-        ("naive d1", make(1, sampler="naive")),
-    ]
-    for name, fn in cases:
-        t = timeit(fn, sc, pid, sid, key)
-        print(f"{name:14s} {t*1e3:8.2f} ms")
+    import json
+    sel = (sys.argv[3].split(",") if len(sys.argv) > 3
+           else ["full d4", "no_sort d4", "naive d4", "full d1"])
+    cases = {
+        "full d4": lambda: make(4),
+        "no_sort d4": lambda: make(4, sort=False),
+        "naive d4": lambda: make(4, sampler="naive"),
+        "full d1": lambda: make(1),
+        "full d2": lambda: make(2),
+        "full d3": lambda: make(3),
+        "naive d1": lambda: make(1, sampler="naive"),
+    }
+    for name in sel:
+        t = timeit(cases[name](), sc, pid, sid, key)
+        print(f"{name:14s} {t*1e3:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

@@ -40,6 +40,7 @@ def main():
     from yhair_tpu.integrator import path as jpath
     from yhair_tpu.ops import build_scene_clusters
     from yhair_tpu.ops import intersect_kernel as ik
+    from yhair_tpu.ops import intersect_group as ig
     from yhair_tpu.parallel import mesh as pmesh
     from yhair_tpu.bsdf import hair as jh
 
@@ -88,6 +89,8 @@ def main():
             lambda o, d: ik._block_cluster_lists(o, d, cl, 128))(o, d)
         cn = np.asarray(counts)
         t_n, (tt, idx, hit) = timeit(
+            jax.jit(lambda o, d: ig.nearest_hit_grouped(o, d, cl)), o, d)
+        t_n1, _ = timeit(
             jax.jit(lambda o, d: ik.nearest_hit(o, d, cl)), o, d)
         # shadow rays from the hit points toward light 0
         hs = jax.jit(lambda o, d: jpath.intersect_scene(sc, o, d))(o, d)
@@ -97,6 +100,9 @@ def main():
         wi_w = to_l / jnp.maximum(dist[:, None], 1e-12)
         sh_o = hs.position + wi_w * (2.0 * hs.radius + 1e-4)[:, None]
         t_a, occ = timeit(
+            jax.jit(lambda o, d, tm: ig.any_hit_grouped(o, d, tm, cl)),
+            sh_o, wi_w, dist)
+        t_a1, _ = timeit(
             jax.jit(lambda o, d, tm: ik.any_hit(o, d, tm, cl)),
             sh_o, wi_w, dist)
         ids_s, counts_s = jax.jit(
@@ -105,10 +111,10 @@ def main():
             sh_o, wi_w, dist)
         cs = np.asarray(counts_s)
         print(f"depth {depth}: alive={float(jnp.mean(alive)):.3f} "
-              f"nearest {t_n*1e3:7.2f} ms (cl/blk mean={cn.mean():5.1f} "
-              f"p90={np.percentile(cn, 90):5.0f} max={cn.max():4d})  "
-              f"anyhit {t_a*1e3:7.2f} ms (cl/blk mean={cs.mean():5.1f} "
-              f"max={cs.max():4d}) occ={float(jnp.mean(occ)):.3f}")
+              f"nearest v2 {t_n*1e3:7.2f} / v1 {t_n1*1e3:7.2f} ms "
+              f"(cl/blk mean={cn.mean():5.1f} max={cn.max():4d})  "
+              f"anyhit v2 {t_a*1e3:7.2f} / v1 {t_a1*1e3:7.2f} ms "
+              f"occ={float(jnp.mean(occ)):.3f}")
         ub = u[:, D_PIXEL + D_BOUNCE * depth:D_PIXEL + D_BOUNCE * (depth + 1)]
         o, d, alive = one_bounce(o, d, alive, ub)
 

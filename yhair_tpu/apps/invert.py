@@ -33,6 +33,9 @@ def build_parser():
                    help="comma list of hair params to optimize")
     p.add_argument("--target", default=None,
                    help="target HDR image (.pfm/.npy); default: self-render")
+    p.add_argument("--pixel-batch", type=int, default=None,
+                   help="stochastic minibatch: pixels sampled per step "
+                        "(whole 128-pixel tiles; default: full image)")
     p.add_argument("--init-scale", type=float, default=1.8,
                    help="multiplicative perturbation of the initial params")
     p.add_argument("--seed", type=int, default=0)
@@ -79,7 +82,8 @@ def main(argv=None):
     step = jax.jit(pmesh.train_step_fn(width=res, height=res, spp=spp,
                                        max_depth=depth,
                                        nearest_segments=nearest,
-                                       optimizer=opt))
+                                       optimizer=opt,
+                                       pixel_batch=args.pixel_batch))
     opt_state = opt.init(params)
     start = 0
     if args.checkpoint and __import__("os").path.exists(args.checkpoint):

@@ -155,7 +155,7 @@ def render_fn(width, height, spp, max_depth=6, chunk=2048,
 
 def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
                   nearest_segments=None, mesh: Mesh | None = None,
-                  optimizer=None):
+                  optimizer=None, pixel_batch=None):
     """Build an inverse-rendering step:
     (params, opt_state, scene, cam, target, key) ->
         (params, opt_state, loss, grads)
@@ -163,6 +163,15 @@ def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
     params is a dict of hair-parameter leaves (subset of HairMaterial
     fields). Loss = mean squared error against the target image. Gradients
     are psum'd across the mesh inside the sharded region.
+
+    pixel_batch: optional stochastic minibatching — each step samples
+    that many pixels (drawn as whole screen TILES so ray blocks stay
+    coherent for the intersection kernel) and descends on the minibatch
+    MSE, an unbiased estimate of the full-image loss. This is what makes
+    inverse rendering at BASELINE config-5 scale (1024x1024x64spp = 67M
+    camera rays per full image) tractable: a 64-step run touches 64
+    minibatches instead of 64 full renders. Must be a multiple of the
+    tile size (128) and divide width*height.
     """
     import optax
 
@@ -170,6 +179,12 @@ def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
     n_rays = width * height * spp
 
     perm, _inv = tile_pixel_permutation(width, height)
+    tile_px = TILE_W * TILE_H
+    if pixel_batch is not None:
+        if pixel_batch % tile_px or (width * height) % tile_px:
+            raise ValueError(f"pixel_batch must be a multiple of "
+                             f"{tile_px} and tile the image")
+        n_rays = pixel_batch * spp
 
     def local_loss(params, scene, cam, key, pixel_ids, sample_ids,
                    target_rows):
@@ -207,10 +222,23 @@ def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
     else:
         compute = loss_and_grad
 
+    perm_tiles = jnp.asarray(perm.reshape(-1, tile_px).astype(np.int32))
+
     def step(params, opt_state, scene, cam, target, key):
-        pid = jnp.asarray(np.repeat(perm, spp).astype(np.int32))
-        sid = jnp.asarray(np.tile(np.arange(spp, dtype=np.int32),
-                                  width * height))
+        if pixel_batch is None:
+            pid = jnp.asarray(np.repeat(perm, spp).astype(np.int32))
+            sid = jnp.asarray(np.tile(np.arange(spp, dtype=np.int32),
+                                      width * height))
+        else:
+            # whole random tiles keep camera-ray blocks coherent; the
+            # key split leaves the trace uniforms (derived from `key`
+            # downstream) decorrelated from the tile choice
+            tkey = jax.random.fold_in(key, 0x7113)
+            tiles = jax.random.choice(tkey, perm_tiles.shape[0],
+                                      (pixel_batch // tile_px,),
+                                      replace=False)
+            pid = jnp.repeat(perm_tiles[tiles].reshape(-1), spp)
+            sid = jnp.tile(jnp.arange(spp, dtype=jnp.int32), pixel_batch)
         tgt_rows = target.reshape(-1, 3)[pid]
         loss, grads = compute(params, scene, cam, key, pid, sid, tgt_rows)
         updates, opt_state = optimizer.update(grads, opt_state, params)
