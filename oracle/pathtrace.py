@@ -378,8 +378,19 @@ def _hair_bsdf(scene, h, seg_id=None, key="hair_material"):
                     eta=m.get("eta", 1.55))
 
 
-def trace(scene, o, d, uniforms, max_depth=4):
-    """Path-trace a batch of rays. Returns (n, 3) radiance."""
+def trace(scene, o, d, uniforms, max_depth=4, edge_softness=0.0):
+    """Path-trace a batch of rays. Returns (n, 3) radiance.
+
+    edge_softness > 0 enables SOFT SILHOUETTES on hair strands: a hit
+    whose width offset |h| lands in the outer (1 - edge_softness, 1]
+    band of the strand is kept only with probability
+    alpha = (1 - |h|) / edge_softness; otherwise the ray PASSES THROUGH
+    and continues unchanged (consuming the bounce). The estimator keeps
+    weight 1 on both branches (the alpha / detached-alpha importance
+    ratio is 1 in value), so renders match the JAX integrator sample for
+    sample; the JAX side differentiates alpha, which is what carries the
+    silhouette (boundary) term of geometry gradients that the interior
+    estimator drops (VERDICT r3 #5)."""
     n = o.shape[0]
     L = np.zeros((n, 3))
     beta = np.ones((n, 3))
@@ -406,6 +417,8 @@ def trace(scene, o, d, uniforms, max_depth=4):
     prev_delta = np.zeros(n, bool)
 
     for depth in range(max_depth):
+        d_in = d
+        prev_pdf_in, prev_delta_in = prev_pdf, prev_delta
         hs = _intersect_scene(scene, o, d)
         # environment on miss; env-map part is MIS-weighted against the
         # previous bounce's env NEE (depth 0 came from the camera: w = 1)
@@ -426,6 +439,23 @@ def trace(scene, o, d, uniforms, max_depth=4):
             break
 
         is_hair = hs["mat"] == 0
+        pass_th = np.zeros(n, bool)
+        if edge_softness:
+            u_cov = uniforms[:, D_PIXEL + D_BOUNCE * depth + 10]
+            alpha = np.clip((1.0 - np.abs(hs["h"])) / edge_softness,
+                            0.0, 1.0)
+            cov = alive & is_hair
+            alpha = np.where(cov, alpha, 1.0)
+            # defensive clamped branch probability — must match the JAX
+            # integrator's a_s exactly (see path.py) for value parity
+            a_s = np.where(alpha >= 1.0, 1.0, np.clip(alpha, 0.2, 0.8))
+            pass_th = cov & (u_cov >= a_s)
+            w_cov = np.where(pass_th,
+                             (1.0 - alpha) / np.maximum(1.0 - a_s, 1e-6),
+                             alpha / np.maximum(a_s, 1e-6))
+            w_cov = np.where(cov, w_cov, 1.0)
+            beta = beta * w_cov[:, None]
+            beta_base = beta_base * w_cov[:, None]
         pos = hs["position"]
         sp = _gather_materials(mats, hs["mat_id"])
         if scene.get("textures"):
@@ -488,7 +518,7 @@ def trace(scene, o, d, uniforms, max_depth=4):
             f_surf = osb.surface_f(sp, wo, wi) * np.abs(wi[:, 2:3])
             f = np.where(is_hair[:, None], f_hair, f_surf)
             contrib = beta * f * li / np.maximum(dist[:, None] ** 2, 1e-12)
-            L += np.where((alive & vis)[:, None], contrib, 0.0)
+            L += np.where((alive & vis & ~pass_th)[:, None], contrib, 0.0)
 
         # ---- environment-map NEE with MIS (if an env map is present)
         if env_map is not None:
@@ -506,7 +536,7 @@ def trace(scene, o, d, uniforms, max_depth=4):
                              osb.surface_pdf(sp, wo, wi))
             w_mis = pdf_e ** 2 / np.maximum(pdf_e ** 2 + pdf_b ** 2, 1e-30)
             contrib = beta * f * le * (w_mis / np.maximum(pdf_e, 1e-12))[:, None]
-            L += np.where((alive & vis)[:, None], contrib, 0.0)
+            L += np.where((alive & vis & ~pass_th)[:, None], contrib, 0.0)
 
         # ---- area-light NEE with MIS (emissive spheres / triangles)
         if al is not None:
@@ -530,7 +560,8 @@ def trace(scene, o, d, uniforms, max_depth=4):
                              osb.surface_pdf(sp, wo, wi))
             w_mis = pdf_a ** 2 / np.maximum(pdf_a ** 2 + pdf_b ** 2, 1e-30)
             le = _area_light_emission(scene, al, el, luv)
-            ok = alive & vis & (pdf_a > 1e-12) & (dist > 4.0 * ray_eps)
+            ok = (alive & vis & ~pass_th & (pdf_a > 1e-12)
+                  & (dist > 4.0 * ray_eps))
             contrib = beta * f * le * (w_mis / np.maximum(pdf_a,
                                                           1e-12))[:, None]
             L += np.where(ok[:, None], contrib, 0.0)
@@ -556,10 +587,20 @@ def trace(scene, o, d, uniforms, max_depth=4):
         prev_pdf = np.where(is_hair, pdf_h, pdf_s)
         prev_delta = ~is_hair & delta_s
 
+        if edge_softness:
+            # pass-through lanes keep their ray and MIS state; weight 1
+            weight = np.where(pass_th[:, None], 1.0, weight)
+            weight_base = np.where(pass_th[:, None], 1.0, weight_base)
+            prev_pdf = np.where(pass_th, prev_pdf_in, prev_pdf)
+            prev_delta = np.where(pass_th, prev_delta_in, prev_delta)
         beta = beta * weight
         beta_base = beta_base * weight_base
         d = geo.normalize(_to_world(wi, fx, fy, fz))
         o = pos + d * ray_eps[:, None]
+        if edge_softness:
+            d = np.where(pass_th[:, None], d_in, d)
+            o = np.where(pass_th[:, None],
+                         pos + d_in * ray_eps[:, None], o)
         alive = alive & (np.max(np.abs(beta_base), axis=-1) > 0)
 
         # ---- Russian roulette (decisions from base throughput)
@@ -576,7 +617,7 @@ def trace(scene, o, d, uniforms, max_depth=4):
     return L
 
 
-def render(scene, cam, uniforms, max_depth=4):
+def render(scene, cam, uniforms, max_depth=4, edge_softness=0.0):
     """Render an image. uniforms: (H, W, spp, n_uniform_dims). -> (H, W, 3)."""
     h, w, spp, _ = uniforms.shape
     jj, ii = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
@@ -585,5 +626,6 @@ def render(scene, cam, uniforms, max_depth=4):
     u = uniforms.reshape(h * w * spp, -1)
     cam = dict(cam, width=w, height=h)
     o, d = geo.camera_rays(cam, i, j, u[:, :4])
-    L = trace(scene, o, d, u, max_depth=max_depth)
+    L = trace(scene, o, d, u, max_depth=max_depth,
+              edge_softness=edge_softness)
     return L.reshape(h, w, spp, 3).mean(axis=2)

@@ -36,6 +36,9 @@ def build_parser():
     p.add_argument("--pixel-batch", type=int, default=None,
                    help="stochastic minibatch: pixels sampled per step "
                         "(whole 128-pixel tiles; default: full image)")
+    p.add_argument("--edge-softness", type=float, default=0.0,
+                   help="soft strand silhouettes: enables the boundary "
+                        "term of geometry gradients (try 0.3)")
     p.add_argument("--init-scale", type=float, default=1.8,
                    help="multiplicative perturbation of the initial params")
     p.add_argument("--seed", type=int, default=0)
@@ -83,7 +86,8 @@ def main(argv=None):
                                        max_depth=depth,
                                        nearest_segments=nearest,
                                        optimizer=opt,
-                                       pixel_batch=args.pixel_batch))
+                                       pixel_batch=args.pixel_batch,
+                                       edge_softness=args.edge_softness))
     opt_state = opt.init(params)
     start = 0
     if args.checkpoint and __import__("os").path.exists(args.checkpoint):

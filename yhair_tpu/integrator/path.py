@@ -404,7 +404,8 @@ def trace_eyelight(scene: Scene, o, d, uniforms, chunk=2048,
 
 
 def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
-          nearest_segments=None, sampler="path", sort_rays=None):
+          nearest_segments=None, sampler="path", sort_rays=None,
+          edge_softness=0.0):
     """Path-trace a ray batch. Matches oracle/pathtrace.py:trace.
 
     o, d: (N, 3); uniforms: (N, n_uniform_dims(max_depth)). -> (N, 3).
@@ -414,6 +415,16 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
     sort_rays: re-sort the wavefront for block coherence every bounce
     (see _ray_sort_perm; bit-identical output). None = auto: on for
     large batches over large segment sets.
+    edge_softness: > 0 enables the BOUNDARY term of geometry gradients
+    via soft strand silhouettes. A hair hit with width offset |h| in
+    the outer (1 - edge_softness, 1] band survives with probability
+    alpha = (1 - |h|) / edge_softness, else the ray passes through
+    unchanged; the branch is chosen on a detached alpha and weighted by
+    the alpha / stop_grad(alpha) ratio (value 1, derivative d alpha), so
+    pixel values keep matching the oracle sample-for-sample while
+    d pixel / d (strand endpoints) gains the silhouette-motion term the
+    detached hit test drops (see intersect_scene's ESTIMATOR NOTE and
+    tests/test_edge_gradients.py). 0 keeps exact hard edges.
     """
     if sampler == "eyelight":
         return trace_eyelight(scene, o, d, uniforms, chunk=chunk,
@@ -443,6 +454,8 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
 
     def bounce(carry, xs):
         o, d, L, beta, alive, prev_pdf, prev_delta, ridx = carry
+        d_in = d
+        prev_pdf_in, prev_delta_in = prev_pdf, prev_delta
         ub, depth = xs
         if sort_rays:
             # uniforms arrive in ORIGINAL ray order; realign to the
@@ -470,6 +483,28 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         alive = alive & hs.hit
 
         is_hair = hs.mat == 0
+        # soft silhouettes (boundary-term estimator; see trace docstring)
+        pass_th = jnp.zeros((n,), bool)
+        if edge_softness:
+            alpha = jnp.clip((1.0 - jnp.abs(hs.h)) / edge_softness,
+                             0.0, 1.0)
+            cov = alive & is_hair
+            alpha = jnp.where(cov, alpha, 1.0)
+            a_det = jax.lax.stop_gradient(alpha)
+            # defensive branch probability: clamping away from 0/1
+            # bounds the alpha/a_s importance weights AND their
+            # derivatives (the unclamped estimator's gradient has
+            # 1/alpha-style heavy tails at the band ends). Unbiased for
+            # any a_s; the oracle mirrors the same formula so values
+            # still match sample-for-sample.
+            a_s = jnp.where(a_det >= 1.0, 1.0,
+                            jnp.clip(a_det, 0.2, 0.8))
+            pass_th = cov & (ub[:, 10] >= a_s)
+            w_cov = jnp.where(
+                pass_th,
+                (1.0 - alpha) / jnp.maximum(1.0 - a_s, 1e-6),
+                alpha / jnp.maximum(a_s, 1e-6))
+            beta = beta * w_cov[:, None]
         sp = scene.surf_mat.gather(hs.mat_id)
         if scene.tex_meta.shape[0]:
             from ..core.texture import apply_textures
@@ -524,7 +559,8 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
             f = jnp.where(is_hair[:, None], f_hair, f_surf)
             contrib = beta * f * lint / jnp.maximum(dist[:, None] ** 2,
                                                     1e-12)
-            L = L + jnp.where((alive & vis)[:, None], contrib, 0.0)
+            L = L + jnp.where((alive & vis & ~pass_th)[:, None],
+                              contrib, 0.0)
 
         # environment-map NEE with MIS
         if use_env and use_nee:
@@ -547,7 +583,8 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                                              1e-30)
             contrib = beta * f * le * (
                 w_mis / jnp.maximum(pdf_e, 1e-12))[:, None]
-            L = L + jnp.where((alive & vis)[:, None], contrib, 0.0)
+            L = L + jnp.where((alive & vis & ~pass_th)[:, None],
+                              contrib, 0.0)
 
         # area-light NEE with MIS (emissive spheres / mesh triangles)
         if scene.n_area_lights and use_nee:
@@ -586,7 +623,8 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
                 le = le * sample_bilinear(scene.tex_data, scene.tex_meta,
                                           scene.al_tex[el], luv[:, 0],
                                           luv[:, 1])
-            ok = alive & vis & (pdf_a > 1e-12) & (dist > 4.0 * ray_eps)
+            ok = (alive & vis & ~pass_th & (pdf_a > 1e-12)
+                  & (dist > 4.0 * ray_eps))
             contrib = beta * f * le * (
                 w_mis / jnp.maximum(pdf_a, 1e-12))[:, None]
             L = L + jnp.where(ok[:, None], contrib, 0.0)
@@ -607,11 +645,20 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         prev_pdf = jnp.where(is_hair, pdf_h, pdf_s)
         prev_delta = ~is_hair & delta_s
 
+        if edge_softness:
+            # pass-through lanes keep their ray and MIS state; weight 1
+            weight = jnp.where(pass_th[:, None], 1.0, weight)
+            prev_pdf = jnp.where(pass_th, prev_pdf_in, prev_pdf)
+            prev_delta = jnp.where(pass_th, prev_delta_in, prev_delta)
         beta = beta * weight
         d_new = _to_world(wi, fx, fy, fz)
         d_new = d_new / jnp.maximum(
             jnp.linalg.norm(d_new, axis=-1, keepdims=True), 1e-12)
         o_new = pos + d_new * ray_eps[:, None]
+        if edge_softness:
+            d_new = jnp.where(pass_th[:, None], d_in, d_new)
+            o_new = jnp.where(pass_th[:, None],
+                              pos + d_in * ray_eps[:, None], o_new)
         alive = alive & (jnp.max(jnp.abs(beta), -1) > 0)
 
         # Russian roulette (active from RR_START)
@@ -646,7 +693,7 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
 
 
 def render(scene: Scene, cam: Camera, uniforms, max_depth=4, chunk=2048,
-           nearest_segments=None, sampler="path"):
+           nearest_segments=None, sampler="path", edge_softness=0.0):
     """Render from a full uniforms tensor (H, W, spp, D) — parity path."""
     hgt, wid, spp, _ = uniforms.shape
     jj, ii = jnp.meshgrid(jnp.arange(hgt), jnp.arange(wid), indexing="ij")
@@ -656,5 +703,6 @@ def render(scene: Scene, cam: Camera, uniforms, max_depth=4, chunk=2048,
     o, d = camera_rays(cam, wid, hgt, i.astype(u.dtype), j.astype(u.dtype),
                        u[:, :4])
     L = trace(scene, o, d, u, max_depth=max_depth, chunk=chunk,
-              nearest_segments=nearest_segments, sampler=sampler)
+              nearest_segments=nearest_segments, sampler=sampler,
+              edge_softness=edge_softness)
     return L.reshape(hgt, wid, spp, 3).mean(axis=2)

@@ -90,7 +90,7 @@ def _ray_uniforms(key, pixel_ids, sample_ids, max_depth, dtype):
 
 def _trace_pixels(scene: Scene, cam: Camera, width, height, pixel_ids,
                   sample_ids, key, max_depth, chunk, nearest_segments,
-                  sampler="path"):
+                  sampler="path", edge_softness=0.0):
     """Trace one flat batch of (pixel, sample) rays -> (B, 3) radiance."""
     dt = scene.env.dtype
     u = _ray_uniforms(key, pixel_ids, sample_ids, max_depth, dt)
@@ -98,12 +98,13 @@ def _trace_pixels(scene: Scene, cam: Camera, width, height, pixel_ids,
     j = (pixel_ids // width).astype(dt)
     o, d = camera_rays(cam, width, height, i, j, u[:, :4])
     return jpath.trace(scene, o, d, u, max_depth=max_depth, chunk=chunk,
-                       nearest_segments=nearest_segments, sampler=sampler)
+                       nearest_segments=nearest_segments, sampler=sampler,
+                       edge_softness=edge_softness)
 
 
 def render_fn(width, height, spp, max_depth=6, chunk=2048,
               nearest_segments=None, mesh: Mesh | None = None,
-              sampler="path"):
+              sampler="path", edge_softness=0.0):
     """Build a render function (scene, cam, key) -> (H, W, 3) image.
 
     With a mesh, the flat ray batch is sharded over AXIS via shard_map;
@@ -124,7 +125,8 @@ def render_fn(width, height, spp, max_depth=6, chunk=2048,
 
     def body(scene, cam, key, pixel_ids, sample_ids):
         L = _trace_pixels(scene, cam, width, height, pixel_ids, sample_ids,
-                          key, max_depth, chunk, nearest_segments, sampler)
+                          key, max_depth, chunk, nearest_segments, sampler,
+                          edge_softness)
         return L
 
     if mesh is None:
@@ -155,7 +157,7 @@ def render_fn(width, height, spp, max_depth=6, chunk=2048,
 
 def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
                   nearest_segments=None, mesh: Mesh | None = None,
-                  optimizer=None, pixel_batch=None):
+                  optimizer=None, pixel_batch=None, edge_softness=0.0):
     """Build an inverse-rendering step:
     (params, opt_state, scene, cam, target, key) ->
         (params, opt_state, loss, grads)
@@ -194,7 +196,8 @@ def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
         hair = scene.hair._replace(**params)
         sc = scene._replace(hair=hair)
         L = _trace_pixels(sc, cam, width, height, pixel_ids, sample_ids,
-                          key, max_depth, chunk, nearest_segments)
+                          key, max_depth, chunk, nearest_segments,
+                          edge_softness=edge_softness)
         img_pix = L.reshape(-1, spp, 3).mean(1)
         tgt_pix = target_rows.reshape(-1, spp, 3)[:, 0]
         return jnp.mean((img_pix - tgt_pix) ** 2)
