@@ -69,12 +69,17 @@ def _nearest(scene: Scene, o, d, chunk, nearest_segments):
     accel = scene.accel
     if accel is None:
         return seg.nearest_hit(o, d, scene.segments, chunk=chunk)
+    from ..accel.instanced import InstancedClusters
     from ..accel.traverse import DeviceBVH
     from ..ops.clusters import Clusters
     if isinstance(accel, Clusters):
         from ..ops import intersect_kernel as ik
         interp = jax.devices()[0].platform == "cpu"
         return ik.make_nearest_fn(accel, interpret=interp)(o, d)
+    if isinstance(accel, InstancedClusters):
+        from ..accel import instanced
+        interp = jax.devices()[0].platform == "cpu"
+        return instanced.make_nearest_fn(accel, interpret=interp)(o, d)
     if isinstance(accel, DeviceBVH):
         from ..accel import traverse
         t, idx, hit, _ = traverse.nearest_hit(o, d, accel)
@@ -113,8 +118,23 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
     # future work (see README "Geometry gradients").
     t_seg = jax.lax.stop_gradient(t_seg)
     idx = jax.lax.stop_gradient(idx)
-    s_re, _, _ = seg._closest_approach(o, d, scene.segments.p0[idx],
-                                       scene.segments.p1[idx])
+    from ..accel.instanced import InstancedClusters, gather_world_segments
+    if isinstance(scene.accel, InstancedClusters):
+        # two-level path: idx is (instance * S + segment); gather the
+        # canonical segment and pose it into world space so the
+        # differentiable recompute + shading stay world-space exact
+        p0g, p1g, r0g, r1g, inst_mid = gather_world_segments(
+            scene.accel, scene.segments, idx)
+        segs_view = seg.Segments(p0=p0g, p1=p1g, r0=r0g, r1=r1g)
+        idx_view = jnp.arange(n, dtype=jnp.int32)
+        hair_mid = inst_mid
+    else:
+        segs_view = scene.segments
+        idx_view = idx
+        hair_mid = scene.seg_mat_id[jnp.clip(
+            idx, 0, scene.seg_mat_id.shape[0] - 1)]
+    s_re, _, _ = seg._closest_approach(o, d, segs_view.p0[idx_view],
+                                       segs_view.p1[idx_view])
     t_seg = jnp.where(hit_seg, s_re, t_seg)
 
     best_t = jnp.where(hit_seg, t_seg, INF)
@@ -207,8 +227,8 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
 
     hit = best_t < INF
     is_hair = hit & (mat == 0)
-    sh = seg.shade_info(o, d, jnp.where(is_hair, best_t, 0.0), idx,
-                        scene.segments)
+    sh = seg.shade_info(o, d, jnp.where(is_hair, best_t, 0.0), idx_view,
+                        segs_view)
     pos = o + jnp.where(hit, best_t, 0.0)[:, None] * d
     position = jnp.where(is_hair[:, None], sh.position, pos)
     return Hit(hit=hit, t=jnp.where(hit, best_t, INF), mat=mat,
@@ -217,8 +237,7 @@ def intersect_scene(scene: Scene, o, d, chunk=2048,
                tangent=sh.tangent, frame_y=sh.frame_y, frame_z=sh.frame_z,
                h=jnp.where(is_hair, sh.h, 0.0),
                radius=jnp.where(is_hair, sh.radius, 0.0), uv=uv,
-               hair_mid=scene.seg_mat_id[jnp.clip(
-                   idx, 0, scene.seg_mat_id.shape[0] - 1)])
+               hair_mid=hair_mid)
 
 
 def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
@@ -231,6 +250,7 @@ def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
     d = jax.lax.stop_gradient(d)
     dist = jax.lax.stop_gradient(dist)
     limit = dist * (1.0 - 1e-4)
+    from ..accel.instanced import InstancedClusters
     from ..ops.clusters import Clusters
     if nearest_segments is None and isinstance(scene.accel, Clusters):
         # dedicated any-hit kernel: per-ray t_max bound + all-occluded
@@ -239,6 +259,12 @@ def occluded_scene(scene: Scene, o, d, dist, chunk=2048,
         interp = jax.devices()[0].platform == "cpu"
         occ = ik.make_occluded_fn(scene.accel, interpret=interp)(o, d,
                                                                  limit)
+    elif nearest_segments is None and isinstance(scene.accel,
+                                                 InstancedClusters):
+        from ..accel import instanced
+        interp = jax.devices()[0].platform == "cpu"
+        occ = instanced.make_occluded_fn(scene.accel, interpret=interp)(
+            o, d, limit)
     else:
         t_seg, _, hit_seg = _nearest(scene, o, d, chunk, nearest_segments)
         occ = hit_seg & (t_seg < limit)
@@ -449,8 +475,20 @@ def trace(scene: Scene, o, d, uniforms, max_depth=4, chunk=2048,
         p0 = jax.lax.stop_gradient(scene.segments.p0)
         p1 = jax.lax.stop_gradient(scene.segments.p1)
         sort_lo = jnp.minimum(p0.min(0), p1.min(0))
-        sort_inv = 1.0 / jnp.maximum(
-            jnp.maximum(p0.max(0), p1.max(0)) - sort_lo, 1e-6)
+        sort_hi = jnp.maximum(p0.max(0), p1.max(0))
+        from ..accel.instanced import InstancedClusters
+        if isinstance(scene.accel, InstancedClusters):
+            # conservative world bounds over posed instances (bounding
+            # sphere of the canonical box through each frame) — only the
+            # Morton sort's normalization, never correctness
+            c = 0.5 * (sort_lo + sort_hi)
+            r = 0.87 * jnp.linalg.norm(sort_hi - sort_lo)
+            ctr = (jnp.einsum("iab,b->ia", scene.accel.R, c)
+                   + scene.accel.t)
+            rad = (r * scene.accel.scale)[:, None]
+            sort_lo = (ctr - rad).min(0)
+            sort_hi = (ctr + rad).max(0)
+        sort_inv = 1.0 / jnp.maximum(sort_hi - sort_lo, 1e-6)
 
     def bounce(carry, xs):
         o, d, L, beta, alive, prev_pdf, prev_delta, ridx = carry

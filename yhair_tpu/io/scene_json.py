@@ -140,6 +140,36 @@ def _resolve_texture(spec, base_dir):
     return {"data": np.asarray(data, np.float64)}
 
 
+
+
+def frame_matrix(frame):
+    """yocto-style frame -> (M (3,3), o (3,), s uniform scale).
+
+    `frame` is 4 rows [x_axis, y_axis, z_axis, origin] (the reference's
+    frame3f [U:libs/yocto/yocto_math.h]); points map as p' = M @ p + o
+    with M holding the axes as COLUMNS. Rotation may carry one uniform
+    scale (applied to strand radii); non-uniform scales are rejected —
+    capsule radii would become direction-dependent.
+    """
+    f = np.asarray(frame, np.float64)
+    assert f.shape == (4, 3), f"frame must be 4x3, got {f.shape}"
+    M = np.stack([f[0], f[1], f[2]], axis=1)
+    lens = np.linalg.norm(f[:3], axis=1)
+    s = float(lens[0])
+    if not np.allclose(lens, s, rtol=1e-4):
+        raise ValueError(f"non-uniform instance scale {lens}")
+    return M, f[3], s
+
+
+def transform_segments(segs, frame):
+    """Bake one instance: rigid(+uniform scale) transform of a strand
+    segment tuple (p0, p1, r0, r1)."""
+    M, o, s = frame_matrix(frame)
+    p0, p1, r0, r1 = segs
+    return (np.asarray(p0) @ M.T + o, np.asarray(p1) @ M.T + o,
+            np.asarray(r0) * s, np.asarray(r1) * s)
+
+
 def load(path):
     """-> (scene_dict, camera_dict) in the shared oracle format."""
     with open(path) as f:
@@ -159,11 +189,21 @@ def load(path):
     if isinstance(strands, list):
         # multiple strand shapes, each with its own hair material
         # (SURVEY.md §2.5: per-material hair params) -> concatenated
-        # segment soup + per-segment material-table ids
-        parts = [_resolve_strands(s, base) for s in strands]
-        mats = [_resolve_material(s.get("material",
-                                        doc.get("hair_material", {})))
-                for s in strands]
+        # segment soup + per-segment material-table ids. A shape entry
+        # may carry "instances": [4x3 frames] — the reference's
+        # instance = (frame, shape, material) — baked here so oracle and
+        # JAX consume identical flat geometry; the shared-tile two-level
+        # path is accel-side (yhair_tpu/accel/instanced.py).
+        parts = []
+        mats = []
+        for s in strands:
+            shape = _resolve_strands(s, base)
+            mat = _resolve_material(s.get("material",
+                                          doc.get("hair_material", {})))
+            for fr in s.get("instances", [None]):
+                parts.append(shape if fr is None
+                             else transform_segments(shape, fr))
+                mats.append(mat)
         segs = tuple(np.concatenate([p[k] for p in parts])
                      for k in range(4))
         seg_mid = np.concatenate([np.full(len(p[0]), i, np.int64)
