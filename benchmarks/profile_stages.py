@@ -33,8 +33,15 @@ from benchmarks._timing import timeit  # noqa: E402  (truthful D2H timing)
 
 
 def main():
-    n_strands = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
-    batch = int(sys.argv[2]) if len(sys.argv) > 2 else 65_536
+    # usage: profile_stages.py [n_strands] [batch] [--trace DIR]
+    trace_dir = None
+    argv = sys.argv[1:]
+    if "--trace" in argv:
+        i = argv.index("--trace")
+        trace_dir = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    n_strands = int(argv[0]) if len(argv) > 0 else 10_000
+    batch = int(argv[1]) if len(argv) > 1 else 65_536
     width = height = 512
     max_depth = 4
 
@@ -118,6 +125,16 @@ def main():
         return jax.value_and_grad(loss)(p)
 
     tc0 = time.time()
+    if trace_dir:
+        # jax.profiler trace of one compiled fwd+bwd step (device +
+        # host timelines; open with TensorBoard's profile plugin)
+        out = jax.block_until_ready(jax.jit(fwdbwd)(params, pid, sid,
+                                                    key))
+        jax.profiler.start_trace(trace_dir)
+        out = jax.jit(fwdbwd)(params, pid, sid, key)
+        jax.block_until_ready(out)
+        jax.profiler.stop_trace()
+        print(f"# wrote profiler trace to {trace_dir}")
     t7, _ = timeit(jax.jit(fwdbwd), params, pid, sid, key)
     print(f"fwd+bwd   {t7*1e3:8.2f} ms  (compile+first {time.time()-tc0-4*t7:.1f}s)")
 

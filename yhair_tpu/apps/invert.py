@@ -44,6 +44,12 @@ def build_parser():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="recovered_params.json")
     p.add_argument("--checkpoint", default=None)
+    p.add_argument("--tb-logdir", default=None,
+                   help="write TensorBoard scalars (loss, grad norms, "
+                        "param trajectories, it/s) to this directory")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of steps 2-4 "
+                        "into this directory (view with TensorBoard)")
     p.add_argument("--platform", default=None)
     return p
 
@@ -95,11 +101,34 @@ def main(argv=None):
             args.checkpoint, params, opt_state)
         print(f"resumed at step {start}")
 
+    tb = None
+    if args.tb_logdir:
+        from torch.utils.tensorboard import SummaryWriter
+        tb = SummaryWriter(args.tb_logdir)
+
     t0 = time.time()
     for it in range(start, args.steps):
+        if args.profile_dir and it == start + 2:
+            jax.profiler.start_trace(args.profile_dir)
         key = jax.random.fold_in(jax.random.key(args.seed + 1), it)
         params, opt_state, loss, grads = step(params, opt_state, sc, cam,
                                               target, key)
+        if args.profile_dir and it == start + 4:
+            jax.block_until_ready(loss)
+            jax.profiler.stop_trace()
+            print(f"wrote profiler trace to {args.profile_dir}")
+        if tb is not None:
+            tb.add_scalar("loss", float(loss), it)
+            tb.add_scalar("it_per_s",
+                          (it - start + 1) / (time.time() - t0), it)
+            for k, g in grads.items():
+                tb.add_scalar(f"grad_norm/{k}",
+                              float(jnp.linalg.norm(jnp.atleast_1d(g))),
+                              it)
+            for k, v in params.items():
+                v = np.atleast_1d(np.asarray(v))
+                for ci, vv in enumerate(v.reshape(-1)[:3]):
+                    tb.add_scalar(f"param/{k}/{ci}", float(vv), it)
         if it % 10 == 0 or it == args.steps - 1:
             vals = {k: np.asarray(v).tolist() for k, v in params.items()}
             print(f"step {it:4d} loss {float(loss):.6f} "
@@ -108,6 +137,9 @@ def main(argv=None):
         if args.checkpoint and it % 20 == 19:
             ckpt.save_train_state(args.checkpoint, params, opt_state, it + 1,
                                   args.seed)
+    if tb is not None:
+        tb.flush()
+        tb.close()
 
     result = {
         "recovered": {k: np.asarray(v).tolist() for k, v in params.items()},
