@@ -228,3 +228,62 @@ def test_scene_json_multimaterial_roundtrip(tmp_path):
     for k in range(4):
         np.testing.assert_allclose(scene2["segments"][k],
                                    scene["segments"][k], atol=1e-6)
+
+
+def test_exr_roundtrip(tmp_path):
+    """Minimal OpenEXR writer/reader: bit-exact FLOAT round-trip at
+    every supported compression, plus gray images and the save_hdr
+    dispatch (SURVEY.md §2.6 EXR IO)."""
+    from yhair_tpu.io import exr as exr_io
+    from yhair_tpu.io import image as img_io
+
+    rng = np.random.default_rng(5)
+    img = (rng.random((33, 47, 3)) * 10).astype(np.float32)
+    for comp in (0, 2, 3):
+        p = tmp_path / f"c{comp}.exr"
+        exr_io.save_exr(str(p), img, compression=comp)
+        back = exr_io.load_exr(str(p))
+        np.testing.assert_array_equal(back.astype(np.float32), img)
+    gray = (rng.random((16, 9)) * 3).astype(np.float32)
+    exr_io.save_exr(str(tmp_path / "g.exr"), gray)
+    np.testing.assert_array_equal(
+        exr_io.load_exr(str(tmp_path / "g.exr")).astype(np.float32), gray)
+    # save_hdr/load_hdr dispatch
+    img_io.save_hdr(str(tmp_path / "d.exr"), img)
+    np.testing.assert_array_equal(
+        img_io.load_hdr(str(tmp_path / "d.exr")).astype(np.float32), img)
+    # zip filter is its own inverse pair on odd lengths
+    raw = rng.integers(0, 256, 999, dtype=np.uint8).tobytes()
+    assert exr_io._zip_unfilter(exr_io._zip_filter(raw)) == raw
+
+
+def test_image_resize():
+    from yhair_tpu.io.image import resize
+
+    yy, xx = np.meshgrid(np.linspace(0, 1, 12), np.linspace(0, 1, 20),
+                         indexing="ij")
+    img = np.stack([yy, xx, np.sin(3 * xx + 2 * yy)], -1)
+    up = resize(img, 24, 40)
+    assert up.shape == (24, 40, 3)
+    # a smooth image survives the up/down round trip tightly
+    down = resize(up, 12, 20)
+    assert np.abs(down - img).mean() < 0.01
+    # constant image is exactly preserved
+    const = np.full((7, 9, 3), 0.7)
+    np.testing.assert_allclose(resize(const, 13, 5), 0.7, rtol=1e-12)
+    # gray path
+    assert resize(img[..., 0], 6, 10).shape == (6, 10)
+    rng = np.random.default_rng(6)
+
+
+def test_jpg_roundtrip(tmp_path):
+    from yhair_tpu.io.image import load_jpg, save_jpg
+
+    yy, xx = np.meshgrid(np.linspace(0, 1, 32), np.linspace(0, 1, 32),
+                         indexing="ij")
+    img = 0.8 * np.stack([yy, xx, 0.5 + 0.4 * np.sin(4 * xx)], -1)
+    p = tmp_path / "x.jpg"
+    save_jpg(str(p), img, quality=95)
+    back = load_jpg(str(p))
+    assert back.shape == (32, 32, 3)
+    assert np.abs(back - img).mean() < 0.02  # lossy but close on smooth

@@ -141,10 +141,13 @@ def load_radiance_hdr(path):
 
 
 def save_hdr(path, img):
-    """Dispatch on extension: .pfm, .hdr (Radiance RGBE) or .npy."""
+    """Dispatch on extension: .pfm, .exr, .hdr (Radiance RGBE), .npy."""
     p = str(path)
     if p.endswith(".pfm"):
         save_pfm(path, img)
+    elif p.endswith(".exr"):
+        from .exr import save_exr
+        save_exr(path, img)
     elif p.endswith(".hdr"):
         save_radiance_hdr(path, img)
     else:
@@ -155,6 +158,41 @@ def load_hdr(path):
     p = str(path)
     if p.endswith(".pfm"):
         return load_pfm(path)
+    if p.endswith(".exr"):
+        from .exr import load_exr
+        return load_exr(path)
     if p.endswith(".hdr"):
         return load_radiance_hdr(path)
     return np.load(path).astype(np.float64)
+
+
+def save_jpg(path, img, exposure=0.0, filmic=False, quality=92):
+    """Tonemapped JPEG (reference's LDR formats, SURVEY.md §2.6)."""
+    from PIL import Image
+    ldr = (tonemap(img, exposure, filmic) * 255 + 0.5).astype(np.uint8)
+    Image.fromarray(ldr).save(path, quality=quality)
+
+
+def load_jpg(path, to_linear=True):
+    return load_png(path, to_linear=to_linear)
+
+
+def resize(img, height, width):
+    """Bilinear resize of an HDR (H, W, C) / (H, W) image (the
+    reference's resize_image [U:yocto_image])."""
+    img = np.asarray(img, np.float64)
+    h, w = img.shape[:2]
+    ys = (np.arange(height) + 0.5) * h / height - 0.5
+    xs = (np.arange(width) + 0.5) * w / width - 0.5
+    y0 = np.clip(np.floor(ys).astype(int), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(int), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    if img.ndim == 3:
+        fy = fy[..., None]
+        fx = fx[..., None]
+    top = img[y0][:, x0] * (1 - fx) + img[y0][:, x1] * fx
+    bot = img[y1][:, x0] * (1 - fx) + img[y1][:, x1] * fx
+    return top * (1 - fy) + bot * fy

@@ -115,7 +115,7 @@ def _resolve_mesh(spec, base_dir):
 
 
 def _resolve_texture(spec, base_dir):
-    """Texture entry: {'file': img.png|.pfm|.hdr} | {'checker':
+    """Texture entry: {'file': img.png|.pfm|.exr|.hdr} | {'checker':
     {...kwargs}} | {'gradient': {...kwargs}} | inline {'data':
     [[[r,g,b],...],...]}."""
     if "file" in spec:
@@ -123,6 +123,9 @@ def _resolve_texture(spec, base_dir):
         p = os.path.join(base_dir, spec["file"])
         if p.endswith(".pfm"):
             data = img_io.load_pfm(p)
+        elif p.endswith(".exr"):
+            from .exr import load_exr
+            data = load_exr(p)
         elif p.endswith(".hdr"):
             data = img_io.load_radiance_hdr(p)
         else:
