@@ -97,11 +97,25 @@ def _resolve_mesh(spec, base_dir):
         mesh = fn(**kwargs)
     elif "positions" in spec:
         mesh = {"positions": np.asarray(spec["positions"], np.float64),
-                "triangles": np.asarray(spec["triangles"], np.int64),
+                "triangles": np.asarray(spec.get("triangles",
+                                                 np.zeros((0, 3))),
+                                        np.int64),
                 "normals": (np.asarray(spec["normals"], np.float64)
                             if spec.get("normals") is not None else None)}
+        if spec.get("quads") is not None:
+            mesh["quads"] = np.asarray(spec["quads"], np.int64)
     else:
         raise ValueError(f"unknown mesh source {spec}")
+    from ..geometry import shape_ops
+    if mesh.get("quads") is not None and len(mesh.get("quads", ())):
+        # quads are first-class in the scene format; triangulated at
+        # build (SURVEY.md §2.2 quad primitive)
+        had_normals = mesh.get("normals") is not None
+        mesh = shape_ops.quads_to_triangles(mesh)
+        if not had_normals:
+            mesh = shape_ops.compute_normals(mesh)
+    if spec.get("subdivide"):
+        mesh = shape_ops.subdivide_mesh(mesh, int(spec["subdivide"]))
     scale = spec.get("scale", 1.0)
     offset = np.asarray(spec.get("offset", [0.0, 0.0, 0.0]), np.float64)
     mesh = dict(mesh,
