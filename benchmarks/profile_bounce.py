@@ -85,13 +85,21 @@ def main():
     from yhair_tpu.core.rng import D_PIXEL, D_BOUNCE
     alive = jnp.ones((batch,), bool)
     for depth in range(max_depth):
+        # time on the integrator's ACTUAL kernel input: dead lanes
+        # masked to far-away origins (their d is garbage post-miss —
+        # unmasked they poison the cluster lists and inflate timings
+        # ~20x, which is what the r3 bounce numbers did)
+        o = jnp.where(alive[:, None], o, 1e8)
         ids, counts = jax.jit(
             lambda o, d: ik._block_cluster_lists(o, d, cl, 128))(o, d)
         cn = np.asarray(counts)
-        t_n, (tt, idx, hit) = timeit(
-            jax.jit(lambda o, d: ig.nearest_hit_grouped(o, d, cl)), o, d)
-        t_n1, _ = timeit(
-            jax.jit(lambda o, d: ik.nearest_hit(o, d, cl)), o, d)
+        # DISTINCT inputs per rep: the tunnel runtime can dedup
+        # identical enqueued programs, silently under-reporting
+        jn = jax.jit(lambda o, d: ik.nearest_hit(o, d, cl))
+        variants = [(o + 1e-6 * (k + 1), d) for k in range(8)]
+        t_n1, (tt, idx, hit) = timeit(jn, o, d, args_list=variants,
+                                      reps=8)
+        t_n = t_n1
         # shadow rays from the hit points toward light 0
         hs = jax.jit(lambda o, d: jpath.intersect_scene(sc, o, d))(o, d)
         lp = sc.light_pos[0]
@@ -99,22 +107,20 @@ def main():
         dist = jnp.linalg.norm(to_l, axis=-1)
         wi_w = to_l / jnp.maximum(dist[:, None], 1e-12)
         sh_o = hs.position + wi_w * (2.0 * hs.radius + 1e-4)[:, None]
-        t_a, occ = timeit(
-            jax.jit(lambda o, d, tm: ig.any_hit_grouped(o, d, tm, cl)),
-            sh_o, wi_w, dist)
-        t_a1, _ = timeit(
-            jax.jit(lambda o, d, tm: ik.any_hit(o, d, tm, cl)),
-            sh_o, wi_w, dist)
+        ja = jax.jit(lambda o, d, tm: ik.any_hit(o, d, tm, cl))
+        va = [(sh_o + 1e-6 * (k + 1), wi_w, dist) for k in range(8)]
+        t_a1, occ = timeit(ja, sh_o, wi_w, dist, args_list=va, reps=8)
+        t_a = t_a1
         ids_s, counts_s = jax.jit(
             lambda o, d, tm: ik._block_cluster_lists(o, d, cl, 128,
                                                      t_max=tm))(
             sh_o, wi_w, dist)
         cs = np.asarray(counts_s)
         print(f"depth {depth}: alive={float(jnp.mean(alive)):.3f} "
-              f"nearest v2 {t_n*1e3:7.2f} / v1 {t_n1*1e3:7.2f} ms "
+              f"nearest {t_n1*1e3:7.2f} ms "
               f"(cl/blk mean={cn.mean():5.1f} max={cn.max():4d})  "
-              f"anyhit v2 {t_a*1e3:7.2f} / v1 {t_a1*1e3:7.2f} ms "
-              f"occ={float(jnp.mean(occ)):.3f}")
+              f"anyhit {t_a1*1e3:7.2f} ms "
+              f"occ={float(jnp.mean(occ)):.3f}", flush=True)
         ub = u[:, D_PIXEL + D_BOUNCE * depth:D_PIXEL + D_BOUNCE * (depth + 1)]
         o, d, alive = one_bounce(o, d, alive, ub)
 

@@ -39,7 +39,14 @@ from .clusters import Clusters
 INF = jnp.float32(1e30)
 T_MIN = 1e-4
 BLOCK = 128
-SMEM_IDS_BUDGET = 512 * 1024  # bytes of scalar-prefetch ids
+# Per-block cluster lists live in HBM and are DMA'd into SMEM scratch at
+# each grid step (4-8 KB). The previous design scalar-prefetched them,
+# which (a) capped list capacity at 256 ids/block (SMEM rows pad to 256
+# int32 words; ~1 MB total SMEM), so blocks with longer lists fell back
+# to scanning ALL clusters — at bounce depth >= 2 HALF the hairball
+# blocks overflowed, paying 1024 visits for ~300-700-entry lists — and
+# (b) tied capacity to the ray count. cap = min(round-up(C), MAX_IDS).
+MAX_IDS = 2048
 
 
 def _block_cluster_lists(o, d, cl: Clusters, block, t_max=None):
@@ -150,47 +157,56 @@ def _segment_test(o, d, tc, t_cap):
     return ok, s, oid
 
 
-def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, t0_ref, i0_ref,
-                oid0_ref, tc_ref, t_ref, idx_ref, oid_ref, *,
+def _hit_kernel(counts_ref, o_ref, d_ref, t0_ref, i0_ref,
+                oid0_ref, ids_hbm, tc_ref, t_ref, idx_ref, oid_ref,
+                ids_smem, ids_sem, *,
                 cluster_size, block, k_cap, stream):
     b = pl.program_id(0)
+    rows = k_cap // 128
+    dma_ids = pltpu.make_async_copy(
+        ids_hbm.at[pl.ds(b * rows, rows), :], ids_smem, ids_sem)
+    dma_ids.start()
     o = o_ref[:, :]              # (block, 3)
     d = d_ref[:, :]
     k = cluster_size
 
     n_hit = counts_ref[b]
-    # counts > k_cap are encoded as n_clusters (sentinel): the block's
-    # list overflowed SMEM, so scan every cluster in order instead
+    # counts > k_cap are encoded as n_clusters (sentinel): the list
+    # exceeded even the HBM table capacity (only possible when
+    # n_clusters > MAX_IDS), so scan every cluster in order instead
     use_all = n_hit > k_cap
+    dma_ids.wait()
 
     def cid_of(i):
-        return jnp.where(use_all, i,
-                         ids_ref[b, jnp.minimum(i, k_cap - 1)])
+        j = jnp.minimum(i, k_cap - 1)
+        return jnp.where(use_all, i, ids_smem[j // 128, j % 128])
 
     def run(get_tile):
+        # The in-loop state is PER-LANE (block, k): cross-lane min /
+        # argmin reductions cost ~log2(k) shuffle steps per sublane tile
+        # and were ~1/3 of the old per-visit time; deferring them to ONE
+        # reduction after the loop replaces them with cheap elementwise
+        # lexicographic updates. The (t, original-id) min is associative
+        # and commutative, so per-lane-then-across-lanes selects exactly
+        # the winner the old per-visit reduction did (bit-identical).
+        t_seed = t0_ref[:, :]                             # (block, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (block, k), 1)
+
         def body(i, carry):
-            t_best, idx_best, oid_best = carry            # (block,1) each
+            t_lane, idx_lane, oid_lane = carry            # (block,k) each
             cid = cid_of(i)
-            ok, s, oid = _segment_test(o, d, get_tile(i, cid), t_best)
+            # the candidate bound stays the PASS SEED (not tightened in
+            # the loop): pass-2 lists are already t1-pruned, and the
+            # inclusive <= keeps equal-t tie candidates admissible
+            ok, s, oid = _segment_test(o, d, get_tile(i, cid), t_seed)
             s_m = jnp.where(ok, s, 1e30)
-            t_loc = jnp.min(s_m, axis=1)                   # (block,)
-            # among lanes tied at t_loc, pick the smallest ORIGINAL id:
-            # deterministic winner at strand-vertex junctions regardless
-            # of Morton/cluster visit order (matches the brute-force scan
-            # over original-order segments)
-            oid_m = jnp.where(s_m == t_loc[:, None], oid, 3.3e38)
-            j = jnp.argmin(oid_m, axis=1)                  # (block,)
-            oid_loc = jnp.min(oid_m, axis=1)
-            has = t_loc < 1e30
-            better = (t_loc < t_best[:, 0]) | (
-                has & (t_loc == t_best[:, 0]) & (oid_loc < oid_best[:, 0]))
-            t_best = jnp.where(better[:, None], t_loc[:, None], t_best)
-            idx_new = cid * k + j.astype(jnp.int32)
-            idx_best = jnp.where(better[:, None], idx_new[:, None],
-                                 idx_best)
-            oid_best = jnp.where(better[:, None], oid_loc[:, None],
-                                 oid_best)
-            return t_best, idx_best, oid_best
+            oid_b = jnp.broadcast_to(oid, (block, k))
+            better = (s_m < t_lane) | ((s_m == t_lane)
+                                       & (oid_b < oid_lane))
+            t_lane = jnp.where(better, s_m, t_lane)
+            oid_lane = jnp.where(better, oid_b, oid_lane)
+            idx_lane = jnp.where(better, cid * k + lane, idx_lane)
+            return t_lane, idx_lane, oid_lane
 
         # NOTE: an early-termination while_loop (stop when the next
         # front-to-back cluster starts beyond max(t_best)) measured ~2x
@@ -198,15 +214,32 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, t0_ref, i0_ref,
         # ray whose t_best stays inf, so the exit never fires and the
         # per-iteration cond is pure overhead. Plain fori wins; the
         # two-pass t_max pruning in nearest_hit bounds the list instead.
-        # The carry is SEEDED from the previous pass (INF/0 on pass 1):
-        # the global (t, oid) lexicographic min is associative, so
-        # splitting the cluster list across passes — even with revisits —
+        init = (jnp.full((block, k), 1e30, jnp.float32),
+                jnp.zeros((block, k), jnp.int32),
+                jnp.full((block, k), 3.4e38, jnp.float32))
+        t_lane, idx_lane, oid_lane = jax.lax.fori_loop(0, n_hit, body,
+                                                       init)
+
+        # ONE cross-lane lexicographic reduction, then merge the pass
+        # seed (pass 1: INF; pass 2: the prefix result) the same way —
+        # splitting the cluster list across passes, even with revisits,
         # selects the same winner.
-        init = (t0_ref[:, :], i0_ref[:, :], oid0_ref[:, :])
-        t_best, idx_best, oid_best = jax.lax.fori_loop(0, n_hit, body, init)
-        t_ref[:, :] = t_best
-        idx_ref[:, :] = idx_best
-        oid_ref[:, :] = oid_best
+        t_loc = jnp.min(t_lane, axis=1)                   # (block,)
+        oid_m = jnp.where(t_lane == t_loc[:, None], oid_lane, 3.4e38)
+        oid_loc = jnp.min(oid_m, axis=1)
+        sel = (t_lane == t_loc[:, None]) & (oid_m == oid_loc[:, None])
+        idx_loc = jnp.min(jnp.where(sel, idx_lane, jnp.int32(2 ** 30)),
+                          axis=1)
+        t_best, idx_best, oid_best = (t0_ref[:, :], i0_ref[:, :],
+                                      oid0_ref[:, :])
+        has = t_loc < 1e30
+        better = (t_loc < t_best[:, 0]) | (
+            has & (t_loc == t_best[:, 0]) & (oid_loc < oid_best[:, 0]))
+        t_ref[:, :] = jnp.where(better[:, None], t_loc[:, None], t_best)
+        idx_ref[:, :] = jnp.where(better[:, None], idx_loc[:, None],
+                                  idx_best)
+        oid_ref[:, :] = jnp.where(better[:, None], oid_loc[:, None],
+                                  oid_best)
 
     if not stream:
         run(lambda i, cid: tc_ref[cid])
@@ -237,40 +270,56 @@ def _hit_kernel(ids_ref, counts_ref, o_ref, d_ref, t0_ref, i0_ref,
                   sem=pltpu.SemaphoreType.DMA((2,)))
 
 
-def _any_kernel(ids_ref, counts_ref, o_ref, d_ref, tcap_ref, tc_ref,
-                occ_ref, *, cluster_size, block, k_cap, stream):
+def _any_kernel(counts_ref, o_ref, d_ref, tcap_ref, ids_hbm, tc_ref,
+                occ_ref, ids_smem, ids_sem, *,
+                cluster_size, block, k_cap, stream):
     b = pl.program_id(0)
+    rows = k_cap // 128
+    dma_ids = pltpu.make_async_copy(
+        ids_hbm.at[pl.ds(b * rows, rows), :], ids_smem, ids_sem)
+    dma_ids.start()
     o = o_ref[:, :]
     d = d_ref[:, :]
     t_cap = tcap_ref[:, :]                                # (block, 1)
 
     n_hit = counts_ref[b]
     use_all = n_hit > k_cap
+    dma_ids.wait()
 
     def cid_of(i):
-        return jnp.where(use_all, i,
-                         ids_ref[b, jnp.minimum(i, k_cap - 1)])
+        j = jnp.minimum(i, k_cap - 1)
+        return jnp.where(use_all, i, ids_smem[j // 128, j % 128])
 
     def run(get_tile):
-        # the carry holds occ as int32, not bool: Mosaic cannot legalize
-        # vector<i1> loop carries (scf.yield legalization failure on v5e)
-        def body(carry):
-            i, occ = carry
+        # occ is PER-LANE int32 (Mosaic cannot legalize vector<i1> loop
+        # carries): the per-visit cross-lane any() and the early-exit's
+        # vector->scalar min() cost ~1/3 of a visit, so visits run in
+        # chunks of up to 8 with ONE dark-block check per chunk (at most
+        # 7 extra visits for a block that darkens mid-chunk).
+        k = cluster_size
+
+        def visit(i, occ_lane):
             cid = cid_of(i)
             ok, _, _ = _segment_test(o, d, get_tile(i, cid), t_cap)
-            occ = jnp.maximum(occ,
-                              jnp.any(ok, axis=1, keepdims=True)
-                              .astype(jnp.int32))
-            return i + 1, occ
+            return jnp.maximum(occ_lane, ok.astype(jnp.int32))
+
+        def body(carry):
+            i, occ_lane = carry
+            step = jnp.minimum(8, n_hit - i)
+            occ_lane = jax.lax.fori_loop(
+                0, step, lambda j, ol: visit(i + j, ol), occ_lane)
+            return i + step, occ_lane
 
         def cond(carry):
-            i, occ = carry
+            i, occ_lane = carry
             # shadow rays in dense hair mostly occlude in the first few
             # front-to-back clusters: stop once the whole block is dark
-            return (i < n_hit) & (jnp.min(occ) < 1)
+            return (i < n_hit) & (jnp.min(jnp.max(occ_lane, axis=1)) < 1)
 
-        return jax.lax.while_loop(
-            cond, body, (jnp.int32(0), jnp.zeros((block, 1), jnp.int32)))
+        i_f, occ_lane = jax.lax.while_loop(
+            cond, body, (jnp.int32(0),
+                         jnp.zeros((block, k), jnp.int32)))
+        return i_f, jnp.max(occ_lane, axis=1, keepdims=True)
 
     if not stream:
         _, occ = run(lambda i, cid: tc_ref[cid])
@@ -309,7 +358,9 @@ def _any_kernel(ids_ref, counts_ref, o_ref, d_ref, tcap_ref, tc_ref,
 
 
 def _k_cap(nb, c):
-    return max(32, min(c, SMEM_IDS_BUDGET // max(nb * 4, 1)))
+    """HBM-table capacity per block: round the cluster count up to whole
+    128-word rows, bounded by MAX_IDS (the sentinel only fires beyond)."""
+    return min(((c + 127) // 128) * 128, MAX_IDS)
 
 
 def _vma_of(x):
@@ -339,10 +390,11 @@ def _common_call(kernel, ids, counts, extra_in, extra_in_specs, out_shape,
                  out_specs, o, d, cl, block, interpret, k_cap, stream):
     n = o.shape[0]
     nb = n // block
+    rows = k_cap // 128
 
     tile_space = pl.ANY if stream else pltpu.VMEM
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,                       # counts only
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((block, 3), lambda b, *_: (b, 0),
@@ -350,11 +402,21 @@ def _common_call(kernel, ids, counts, extra_in, extra_in_specs, out_shape,
             pl.BlockSpec((block, 3), lambda b, *_: (b, 0),
                          memory_space=pltpu.VMEM),
             *extra_in_specs,
+            pl.BlockSpec(memory_space=pl.ANY),       # ids rows (HBM)
             pl.BlockSpec(memory_space=tile_space),   # tc tiles (full)
         ],
         out_specs=out_specs,
+        scratch_shapes=[
+            pltpu.SMEM((rows, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
-    ids = ids[:, :k_cap]
+    # pack each block's id list into whole 128-word HBM rows; the kernel
+    # DMAs its rows into SMEM scratch (scalar-prefetch SMEM tables pad
+    # rows to 256 words and capped capacity at 256 ids — see MAX_IDS)
+    if ids.shape[1] < k_cap:
+        ids = jnp.pad(ids, ((0, 0), (0, k_cap - ids.shape[1])))
+    ids_rows = ids[:, :k_cap].reshape(nb * rows, 128)
     counts = jnp.where(counts > k_cap, cl.n_clusters,
                        counts).astype(jnp.int32)
 
@@ -368,7 +430,7 @@ def _common_call(kernel, ids, counts, extra_in, extra_in_specs, out_shape,
     return pl.pallas_call(
         kernel, grid_spec=grid_spec, out_shape=out_shape,
         interpret=interpret,
-    )(*map(_promote, (ids, counts, o, d, *extra_in, cl.tc)))
+    )(*map(_promote, (counts, o, d, *extra_in, ids_rows, cl.tc)))
 
 
 # prefix pass length: front-to-back clusters visited to seed the per-ray
@@ -429,8 +491,6 @@ def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False,
     if stream is None:
         stream = _use_stream(cl)
 
-    # pass-1 prefix honors the same SMEM ids budget as the main pass
-    # (ADVICE r3: a fixed 128-wide prefix at >131k rays exceeded it 4x)
     k_prefix = min(K_PREFIX, k_cap)
     ids, counts = _block_cluster_lists(o, d, cl, block)
     if c <= k_prefix:
@@ -446,7 +506,7 @@ def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False,
         t1, i1, oid1 = _hit_pass(
             o, d, seeds, ids[:, :k_prefix],
             jnp.minimum(counts, k_prefix), cl, block, interpret,
-            k_prefix, stream)
+            max(128, k_prefix), stream)
         ids2, counts2 = _block_cluster_lists(o, d, cl, block,
                                              t_max=t1[:, 0])
         t, idx, _ = _hit_pass(o, d, (t1, i1, oid1), ids2, counts2, cl,
@@ -499,7 +559,7 @@ def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False,
     # contribute nothing to any block's cluster union) and rebuilds the
     # lists for the stragglers only — most blocks then have zero clusters.
     occ_a = run_pass(o, t_max, ids[:, :K_ANY_PREFIX],
-                     jnp.minimum(counts, K_ANY_PREFIX), K_ANY_PREFIX)
+                     jnp.minimum(counts, K_ANY_PREFIX), 128)
     # a block whose list fit entirely in the prefix is fully resolved
     done = (counts <= K_ANY_PREFIX)
     done_ray = jnp.repeat(done, block) | occ_a
