@@ -88,15 +88,17 @@ def main():
     pid_all = np.repeat(perm, spp).astype(np.int32)
     sid_all = np.tile(np.arange(spp, dtype=np.int32), width * height)
 
+    from yhair_tpu.utils.hostsync import sync as host_sync
+
     def run(fn, args_builder, n_batches):
         # completion is signalled by a device-to-host read of the LAST
-        # output (programs execute in order): jax.block_until_ready can
-        # return early on this tunneled runtime (benchmarks/_timing.py)
+        # output (programs execute in order): jax.block_until_ready is
+        # unreliable on this tunneled runtime (yhair_tpu/utils/hostsync.py)
         out = None
         for bi in range(n_batches):
             s = slice(bi * batch, (bi + 1) * batch)
             out = fn(*args_builder(s))
-        np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+        host_sync(out)
         return out
 
     n_batches = n_rays // batch
@@ -118,6 +120,27 @@ def main():
     total_rays = n_rays * rays_per_camera_ray
     mrays = total_rays / t_fwdbwd / 1e6
 
+    # ALIVE-ray throughput alongside the all-lane headline: lanes run the
+    # traversal whether or not they still carry a live path, so the
+    # all-lane number is the hardware rate while the alive-ray number is
+    # the useful-work rate (VERDICT r4 missing #6). One instrumented
+    # (untimed) batch gives the alive fraction.
+    def alive_batch(scene, pixel_ids, sample_ids, key):
+        u = pmesh._ray_uniforms(key, pixel_ids, sample_ids, max_depth,
+                                jnp.float32)
+        i = (pixel_ids % width).astype(jnp.float32)
+        j = (pixel_ids // width).astype(jnp.float32)
+        o, dvec = camera_rays(cam, width, height, i, j, u[:, :4])
+        _, aux = jpath.trace(scene, o, dvec, u, max_depth=max_depth,
+                             return_alive=True)
+        return aux
+    a_in, a_sh = jax.jit(alive_batch)(
+        sc2, jnp.asarray(pid_all[:batch]), jnp.asarray(sid_all[:batch]),
+        key)
+    alive_rays = float(np.asarray(a_in).sum() + np.asarray(a_sh).sum())
+    alive_frac = alive_rays / (batch * rays_per_camera_ray)
+    alive_mrays = mrays * alive_frac
+
     _log(f"fwd+bwd timed: {t_fwdbwd:.2f}s; running oracle baseline")
     # --- oracle baseline (numpy float64) on a small slice of the same
     # scene. Oracle cost is linear in rays x segments (dense brute-force
@@ -138,8 +161,12 @@ def main():
         "value": round(mrays, 3),
         "unit": "Mrays/s/chip",
         "vs_baseline": round(mrays / max(oracle_mrays, 1e-9), 1),
+        "alive_mrays": round(alive_mrays, 3),
+        "alive_frac": round(alive_frac, 4),
     }))
     print(f"# fwd+bwd: {t_fwdbwd:.2f}s for {total_rays/1e6:.1f}M rays; "
+          f"alive-ray rate {alive_mrays:.3f} Mrays/s "
+          f"(alive fraction {alive_frac:.3f}); "
           f"oracle {oracle_mrays:.4f} Mrays/s", file=sys.stderr)
 
 

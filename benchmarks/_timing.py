@@ -18,13 +18,7 @@ from __future__ import annotations
 
 import time
 
-import jax
-import numpy as np
-
-
-def _sync(out):
-    leaf = jax.tree.leaves(out)[0]
-    np.asarray(leaf).ravel()[:1]
+from yhair_tpu.utils.hostsync import sync as _sync
 
 
 def timeit(fn, *args, reps=10, args_list=None):

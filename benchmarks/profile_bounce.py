@@ -40,7 +40,6 @@ def main():
     from yhair_tpu.integrator import path as jpath
     from yhair_tpu.ops import build_scene_clusters
     from yhair_tpu.ops import intersect_kernel as ik
-    from yhair_tpu.ops import intersect_group as ig
     from yhair_tpu.parallel import mesh as pmesh
     from yhair_tpu.bsdf import hair as jh
 

@@ -24,12 +24,7 @@ from yhair_tpu.utils import compile_cache
 compile_cache.enable()
 
 
-def timeit(fn, *args, reps=20):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.time()
-    outs = [fn(*args) for _ in range(reps)]
-    jax.block_until_ready(outs)
-    return (time.time() - t0) / reps, out
+from benchmarks._timing import timeit  # noqa: E402  (truthful D2H timing)
 
 
 def main():

@@ -69,7 +69,8 @@ def main():
     i = (pid % width).astype(jnp.float32)
     j = (pid // width).astype(jnp.float32)
     o, d = camera_rays(cam, width, height, i, j, u[:, :4])
-    o = jax.block_until_ready(o)
+    from yhair_tpu.utils.hostsync import sync as _hs_sync
+    _hs_sync(o)
 
     # stats: clusters per block
     ids, counts = jax.jit(
@@ -128,11 +129,11 @@ def main():
     if trace_dir:
         # jax.profiler trace of one compiled fwd+bwd step (device +
         # host timelines; open with TensorBoard's profile plugin)
-        out = jax.block_until_ready(jax.jit(fwdbwd)(params, pid, sid,
-                                                    key))
+        out = jax.jit(fwdbwd)(params, pid, sid, key)
+        _hs_sync(out)
         jax.profiler.start_trace(trace_dir)
         out = jax.jit(fwdbwd)(params, pid, sid, key)
-        jax.block_until_ready(out)
+        _hs_sync(out)
         jax.profiler.stop_trace()
         print(f"# wrote profiler trace to {trace_dir}")
     t7, _ = timeit(jax.jit(fwdbwd), params, pid, sid, key)

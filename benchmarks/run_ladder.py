@@ -69,6 +69,7 @@ def render_config(n):
     scene_d, cam_d = cfg["fn"]()
     res, spp, depth = cfg["res"], cfg["spp"], cfg["depth"]
     print(f"== config {n}: {res}x{res} {spp}spp depth {depth}", flush=True)
+    os.makedirs(GOLD, exist_ok=True)
     t0 = time.time()
     sc, cam, nearest = build_device_scene(scene_d, cam_d)
     print(f"   scene: {sc.segments.p0.shape[0]} segments "
@@ -124,13 +125,29 @@ def invert_config5():
     invert.main(argv)
 
 
+def _with_retries(fn, *args, tries=3):
+    """The tunneled TPU runtime occasionally raises transient
+    INVALID_ARGUMENT runtime errors mid-render (utils/hostsync.py);
+    renders checkpoint every few passes, so a retry resumes cheaply."""
+    for k in range(tries):
+        try:
+            return fn(*args)
+        except Exception as e:
+            if k == tries - 1:
+                raise
+            print(f"!! attempt {k + 1} failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); retrying from checkpoint",
+                  flush=True)
+            time.sleep(10)
+
+
 def main():
     which = [int(a) for a in sys.argv[1:]] or [1, 2, 3, 4, 5]
     for n in which:
         if n <= 5:
-            render_config(n)
+            _with_retries(render_config, n)
     if 5 in which:
-        invert_config5()
+        _with_retries(invert_config5)
 
 
 if __name__ == "__main__":

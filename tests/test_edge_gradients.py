@@ -111,3 +111,96 @@ def test_silhouette_gradient_unmasked():
     assert abs(g_ad - g_fd) < 0.3 * abs(g_fd), (gs, fds)
     # variance control: seed-to-seed spread well under the signal
     assert np.std(gs) < 0.4 * abs(g_fd), (gs, g_fd)
+
+
+def _cluster_scene(scene):
+    """Scene on the cluster/Pallas accel path (interpret mode on CPU)."""
+    from yhair_tpu.geometry.segments import Segments
+    from yhair_tpu.ops import clusters as cmod
+
+    p0, p1, r0, r1 = scene["segments"]
+    cl = cmod.build(p0, p1, r0, r1, use_native=False)
+    sc = jscene.from_dict(scene)
+    return sc._replace(
+        segments=Segments(p0=cl.s0[:, :3], p1=cl.s1[:, :3],
+                          r0=cl.s0[:, 3], r1=cl.s1[:, 3]),
+        seg_mat_id=jnp.zeros((cl.s0.shape[0],), jnp.int32),
+        accel=cl)
+
+
+def test_soft_edges_through_cluster_kernel():
+    """edge_softness > 0 through the cluster/Pallas path (VERDICT r4
+    weak #8): values must match the brute path sample-for-sample (the
+    winner search is bit-identical, so the h band decisions agree), and
+    the radius gradient must stay finite and match the brute path."""
+    scene, cam = gen.hair_patch(n_strands=80, n_seg=4)
+    res, spp, depth = 24, 2, 2
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((res, res, spp, opt.n_uniform_dims(depth))),
+                    jnp.float32)
+    cam_j = jscene.camera_from_dict(cam)
+    sc_brute = jscene.from_dict(scene)
+    sc_cl = _cluster_scene(scene)
+
+    img_b = np.asarray(jpath.render(sc_brute, cam_j, u, max_depth=depth,
+                                    chunk=512, edge_softness=SOFT))
+    img_k = np.asarray(jpath.render(sc_cl, cam_j, u, max_depth=depth,
+                                    chunk=512, edge_softness=SOFT))
+    close = np.isclose(img_b, img_k, rtol=1e-4, atol=1e-5)
+    assert close.mean() > 0.999, f"only {close.mean():.4f} close"
+
+    def rad_loss(sc, s):
+        segs = sc.segments._replace(r0=sc.segments.r0 * s,
+                                    r1=sc.segments.r1 * s)
+        return jpath.render(sc._replace(segments=segs), cam_j, u,
+                            max_depth=depth, chunk=512,
+                            edge_softness=SOFT).mean()
+
+    g_b = float(jax.grad(lambda s: rad_loss(sc_brute, s))(jnp.float32(1.0)))
+    g_k = float(jax.grad(lambda s: rad_loss(sc_cl, s))(jnp.float32(1.0)))
+    assert np.isfinite(g_b) and np.isfinite(g_k)
+    assert abs(g_b) > 1e-5, "radius gradient must be nonzero"
+    assert abs(g_b - g_k) < 0.05 * max(abs(g_b), abs(g_k)) + 1e-6
+
+
+def test_soft_edges_through_instanced_path():
+    """edge_softness > 0 through a POSED instance (two-level accel):
+    gradients finite, values near the baked reference."""
+    from yhair_tpu.accel.instanced import build_instanced
+    from yhair_tpu.geometry.segments import Segments
+    from yhair_tpu.io.scene_json import transform_segments
+    from yhair_tpu.ops import clusters as cmod
+
+    scene, cam = gen.hair_patch(n_strands=80, n_seg=4)
+    fr = [[0.0, 1.0, 0.0], [-1.0, 0.0, 0.0], [0.0, 0.0, 1.0],
+          [0.05, 0.0, 0.0]]
+    baked = dict(scene, segments=transform_segments(scene["segments"], fr))
+    p0, p1, r0, r1 = scene["segments"]
+    cl = cmod.build(p0, p1, r0, r1, use_native=False)
+    ic = build_instanced(cl, [fr])
+    sc_inst = jscene.from_dict(scene)._replace(
+        segments=Segments(p0=cl.s0[:, :3], p1=cl.s1[:, :3],
+                          r0=cl.s0[:, 3], r1=cl.s1[:, 3]),
+        accel=ic)
+    res, spp, depth = 24, 2, 2
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.random((res, res, spp, opt.n_uniform_dims(depth))),
+                    jnp.float32)
+    cam_j = jscene.camera_from_dict(cam)
+    img_a = np.asarray(jpath.render(jscene.from_dict(baked), cam_j, u,
+                                    max_depth=depth, chunk=512,
+                                    edge_softness=SOFT))
+    img_i = np.asarray(jpath.render(sc_inst, cam_j, u, max_depth=depth,
+                                    edge_softness=SOFT))
+    close = np.isclose(img_a, img_i, rtol=5e-3, atol=5e-3)
+    assert close.mean() > 0.97, f"only {close.mean():.3f} close"
+
+    def rad_loss(s):
+        segs = sc_inst.segments._replace(r0=sc_inst.segments.r0 * s,
+                                         r1=sc_inst.segments.r1 * s)
+        return jpath.render(sc_inst._replace(segments=segs), cam_j, u,
+                            max_depth=depth,
+                            edge_softness=SOFT).mean()
+
+    g = float(jax.grad(rad_loss)(jnp.float32(1.0)))
+    assert np.isfinite(g)

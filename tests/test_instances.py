@@ -109,6 +109,106 @@ def test_two_level_matches_baked():
     assert ic.cl.s0.shape[0] <= baked_segs // 2 + cl.cluster_size
 
 
+FRAMES4 = FRAMES + [
+    # far left, 0.8x scale
+    [[0.8, 0, 0], [0, 0.8, 0], [0, 0, 0.8], [-0.8, 0.1, -0.2]],
+    # far right, rolled
+    [[0, 1, 0], [-1, 0, 0], [0, 0, 1], [0.8, -0.1, -0.3]],
+]
+
+
+def _instanced_scene(scene, frames, mats=None):
+    from yhair_tpu.accel.instanced import build_instanced
+    from yhair_tpu.geometry.segments import Segments
+    from yhair_tpu.ops import clusters as cmod
+
+    p0, p1, r0, r1 = scene["segments"]
+    cl = cmod.build(p0, p1, r0, r1, use_native=False)
+    ic = build_instanced(cl, frames, inst_mat=mats)
+    sc = jscene.from_dict(scene)
+    return sc._replace(
+        segments=Segments(p0=cl.s0[:, :3], p1=cl.s1[:, :3],
+                          r0=cl.s0[:, 3], r1=cl.s1[:, 3]),
+        accel=ic), ic
+
+
+def test_four_instances_match_baked_with_cull():
+    """>= 4 posed instances (VERDICT r4 weak #4): the top-level AABB
+    cull must not change results, and the matched-pixel subset must
+    agree to a tight per-pixel tolerance (not just a 97% gate)."""
+    scene, cam = _wig()
+    segs = scene["segments"]
+    parts = [transform_segments(segs, fr) for fr in FRAMES4]
+    cat = tuple(np.concatenate([p[k] for p in parts]) for k in range(4))
+    baked = dict(scene, segments=cat)
+    sc_baked = jscene.from_dict(baked)
+    cam_j = jscene.camera_from_dict(cam)
+
+    sc_inst, ic = _instanced_scene(scene, FRAMES4)
+    assert ic.bmin.shape == (4, 3)
+
+    rng = np.random.default_rng(1)
+    res, spp, depth = 32, 2, 2
+    u = jnp.asarray(rng.random((res, res, spp, n_uniform_dims(depth))),
+                    jnp.float32)
+    img_a = np.asarray(jpath.render(sc_baked, cam_j, u, max_depth=depth,
+                                    chunk=512))
+    img_b = np.asarray(jpath.render(sc_inst, cam_j, u, max_depth=depth))
+    close = np.isclose(img_a, img_b, rtol=5e-3, atol=5e-3)
+    assert close.mean() > 0.97, f"only {close.mean():.3f} close"
+    # per-pixel tolerance on the matched subset: f32 transform noise,
+    # not structural disagreement
+    assert np.abs((img_a - img_b)[close]).max() < 5e-3
+    # every instance must contribute pixels somewhere
+    single = np.asarray(jpath.render(jscene.from_dict(scene), cam_j, u,
+                                     max_depth=depth, chunk=512))
+    assert (np.abs(img_a - single) > 1e-3).mean() > 0.05
+
+
+def test_instance_cull_rays_missing_all_boxes():
+    """Rays aimed away from every posed instance must miss (the
+    neutralized-origin path) and never occlude."""
+    from yhair_tpu.accel import instanced as inst_mod
+
+    scene, _cam = _wig()
+    _sc, ic = _instanced_scene(scene, FRAMES4)
+    o = jnp.tile(jnp.asarray([[0.0, 5.0, 0.0]]), (8, 1))
+    d = jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]]), (8, 1))  # straight up
+    t, idx, hit = inst_mod.make_nearest_fn(ic, interpret=True)(o, d)
+    assert not bool(hit.any())
+    occ = inst_mod.make_occluded_fn(ic, interpret=True)(
+        o, d, jnp.full((8,), 100.0))
+    assert not bool(occ.any())
+
+
+def test_scale_dependent_tmin_fixed():
+    """ADVICE r4: the kernel's T_MIN acted at world distance
+    scale * T_MIN per instance. With the origin-shift fix a hit just
+    beyond T_MIN world units must be found even under a large scale."""
+    from yhair_tpu.accel import instanced as inst_mod
+    from yhair_tpu.accel.instanced import build_instanced
+    from yhair_tpu.ops import clusters as cmod
+
+    # one straight strand along x at the origin, radius 1e-3 (canonical)
+    p0 = np.array([[-0.5, 0.0, 0.0]])
+    p1 = np.array([[0.5, 0.0, 0.0]])
+    r = np.array([1e-3])
+    cl = cmod.build(p0, p1, r, r, use_native=False)
+    big = 8.0
+    frames = [[[big, 0, 0], [0, big, 0], [0, 0, big], [0, 0, 0]]]
+    ic = build_instanced(cl, frames)
+    # the thin-strand model reports the closest approach to the AXIS, so
+    # start the ray 4e-4 world units from the axis pointing at it: world
+    # t = 4e-4 > T_MIN = 1e-4 must hit, but the OLD code clipped
+    # anything below scale * T_MIN = 8e-4 (local parameter 5e-5 < T_MIN)
+    t_hit = 4e-4
+    o = jnp.asarray([[0.0, t_hit, 0.0]], jnp.float32)
+    d = jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32)
+    t, idx, hit = inst_mod.make_nearest_fn(ic, interpret=True)(o, d)
+    assert bool(hit[0]), "near hit was clipped by scale-dependent T_MIN"
+    assert abs(float(t[0]) - t_hit) < 1e-4
+
+
 def test_instanced_json_roundtrip(tmp_path):
     scene, cam = _wig()
     p0, p1, r0, r1 = scene["segments"]

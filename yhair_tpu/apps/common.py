@@ -54,12 +54,21 @@ def build_device_scene(scene_d, cam_d, use_bvh=True, leaf_size=4,
 
 def progressive_render(sc, cam, nearest, width, height, spp, max_depth,
                        seed=0, sampler="path", checkpoint=None,
-                       checkpoint_every=8, log=print, spp_per_pass=1):
+                       checkpoint_every=8, log=print, spp_per_pass=1,
+                       max_rays_per_call=65536):
     """Render spp samples in passes of spp_per_pass, accumulating on host.
 
-    One jitted pass function is reused for every pass (sample index is a
-    traced argument), so compile happens once. Returns (H, W, 3) image.
-    Resumable via utils.checkpoint when `checkpoint` path is given.
+    One jitted strip function is reused for every call (sample index and
+    ray ids are traced arguments), so compile happens once. Returns
+    (H, W, 3) image. Resumable via utils.checkpoint when `checkpoint` is
+    given.
+
+    max_rays_per_call bounds the traced batch: per-ray scan intermediates
+    scale with N x chunk (the 1024^2 BASELINE config 5 at one pass
+    needed 24.45 GB of HBM — measured compile OOM on v5e — dominated by
+    (N, 2048, 3) scan workspaces), so big frames render as several equal
+    tile-aligned strips of the tile-permuted pixel order. 65536 matches
+    bench.py's proven batch.
     """
     import jax
     import jax.numpy as jnp
@@ -67,6 +76,7 @@ def progressive_render(sc, cam, nearest, width, height, spp, max_depth,
 
     from ..parallel import mesh as pmesh
     from ..utils import checkpoint as ckpt
+    from ..utils import hostsync
 
     accum = np.zeros((height, width, 3), np.float64)
     start_sample = 0
@@ -78,26 +88,35 @@ def progressive_render(sc, cam, nearest, width, height, spp, max_depth,
         log(f"resumed at sample {start_sample}")
 
     n_rays = width * height * spp_per_pass
+    n_strips = max(1, -(-n_rays // max_rays_per_call))
+    while n_rays % n_strips:
+        n_strips += 1
+    strip = n_rays // n_strips
     base = jax.random.key(seed)
     perm, inv = pmesh.tile_pixel_permutation(width, height)
+    pid_all = np.repeat(perm, spp_per_pass).astype(np.int32)
+    sid_all = np.tile(np.arange(spp_per_pass, dtype=np.int32),
+                      width * height)
 
-    def render_pass(scene, camera, sample0):
-        pid = jnp.asarray(np.repeat(perm, spp_per_pass).astype(np.int32))
-        sid = sample0 + jnp.asarray(
-            np.tile(np.arange(spp_per_pass, dtype=np.int32),
-                    width * height))
-        L = pmesh._trace_pixels(scene, camera, width, height, pid, sid,
-                                base, max_depth, 2048, nearest, sampler)
-        pix = L.reshape(-1, spp_per_pass, 3).sum(1)
-        return pix[jnp.asarray(inv)].reshape(height, width, 3)
+    def render_strip(scene, camera, sample0, pid, sid):
+        return pmesh._trace_pixels(scene, camera, width, height, pid,
+                                   sample0 + sid, base, max_depth, 2048,
+                                   nearest, sampler)
 
-    jpass = jax.jit(render_pass)
+    jstrip = jax.jit(render_strip)
     t0 = time.time()
     s = start_sample
     while s < spp:
-        out = np.asarray(jax.block_until_ready(
-            jpass(sc, cam, jnp.int32(s))))
-        accum += out
+        flat = np.empty((n_rays, 3), np.float64)
+        for b in range(n_strips):
+            sl = slice(b * strip, (b + 1) * strip)
+            # hostsync.fetch, NOT block_until_ready: the latter is
+            # unreliable on the tunneled TPU runtime (utils/hostsync.py)
+            flat[sl] = hostsync.fetch(jstrip(
+                sc, cam, jnp.int32(s), jnp.asarray(pid_all[sl]),
+                jnp.asarray(sid_all[sl])))
+        pix = flat.reshape(-1, spp_per_pass, 3).sum(1)
+        accum += pix[inv].reshape(height, width, 3)
         s += spp_per_pass
         if checkpoint and (s // spp_per_pass) % checkpoint_every == 0:
             ckpt.save_render_state(checkpoint, accum, s, seed)

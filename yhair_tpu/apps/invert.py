@@ -72,9 +72,13 @@ def main(argv=None):
     sc, cam, nearest = build_device_scene(scene_d, cam_d)
     res, spp, depth = args.resolution, args.spp, args.bounces
 
+    # the synthetic target renders with the SAME edge_softness as the
+    # optimization steps: a hard-edged target under a soft-edged forward
+    # model biases recovered params at strand silhouettes (ADVICE r4)
     render = jax.jit(pmesh.render_fn(width=res, height=res, spp=spp,
                                      max_depth=depth,
-                                     nearest_segments=nearest))
+                                     nearest_segments=nearest,
+                                     edge_softness=args.edge_softness))
     if args.target:
         target = jnp.asarray(img_io.load_hdr(args.target), jnp.float32)
         assert target.shape == (res, res, 3), "target size mismatch"
@@ -114,7 +118,8 @@ def main(argv=None):
         params, opt_state, loss, grads = step(params, opt_state, sc, cam,
                                               target, key)
         if args.profile_dir and it == start + 4:
-            jax.block_until_ready(loss)
+            from ..utils import hostsync
+            hostsync.sync(loss)
             jax.profiler.stop_trace()
             print(f"wrote profiler trace to {args.profile_dir}")
         if tb is not None:

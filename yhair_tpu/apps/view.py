@@ -165,8 +165,8 @@ def main(argv=None):
                         sc, cam_d, cam, tonemap = _apply_edits(
                             edits, sc, cam_d, tonemap)
 
-            out = np.asarray(jax.block_until_ready(
-                jpass(sc, cam, jnp.int32(s))))
+            from ..utils import hostsync
+            out = hostsync.fetch(jpass(sc, cam, jnp.int32(s)))
             accum += out
             s += spp_pp
             n_pass += 1

@@ -62,11 +62,39 @@ class HairMaterial(NamedTuple):
 
 
 def _safe_sqrt(x):
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt(max(x, 0)) with a FINITE gradient at x <= 0.
+
+    sqrt'(0) = inf, and inf * 0 = NaN even when the caller gates the
+    result with `where` (geometry gradients hit this at |h| = 1, where
+    cos(gamma) = sqrt(1 - h^2) = 0). Values are bit-identical to
+    sqrt(max(x, 0)); gradients are 0 where x <= 1e-12."""
+    return jnp.where(x > 1e-12, jnp.sqrt(jnp.maximum(x, 1e-12)),
+                     jax.lax.stop_gradient(jnp.sqrt(jnp.maximum(x, 0.0))))
 
 
 def _safe_asin(x):
-    return jnp.arcsin(jnp.clip(x, -1.0, 1.0))
+    """arcsin(clip(x, -1, 1)) with a FINITE gradient at |x| -> 1
+    (asin'(1) = inf; same inf * 0 = NaN failure mode as _safe_sqrt).
+    Values bit-identical; gradients 0 in the outermost 1e-6 band."""
+    lim = 1.0 - 1e-6
+    return jnp.where((x > -lim) & (x < lim),
+                     jnp.arcsin(jnp.clip(x, -lim, lim)),
+                     jax.lax.stop_gradient(jnp.arcsin(
+                         jnp.clip(x, -1.0, 1.0))))
+
+
+def _grad_interior(x, lim=1.0 - 1e-3):
+    """Identity in VALUE; gradient gated to zero for |x| >= lim.
+
+    Geometry gradients differentiate the strand offset h, and both
+    asin(h) and sqrt(1 - h^2) have INFINITE derivatives at |h| = 1 —
+    every silhouette-grazing hit would inject inf/NaN into d/d(control
+    points) (hair-parameter gradients never differentiate h, so they
+    were unaffected). Clamping the derivative (not the value) keeps
+    renders bit-identical while making geometry gradients finite; the
+    lost signal is the outermost 0.1% of the strand width."""
+    xc = jnp.clip(x, -lim, lim)
+    return xc + jax.lax.stop_gradient(x - xc)
 
 
 def _i0(x):
@@ -245,7 +273,17 @@ def _shared_terms(mat: HairMaterial, h, sin_o, cos_o):
 def _angles(w):
     sin_t = w[..., 0]
     cos_t = _safe_sqrt(1.0 - sin_t * sin_t)
-    phi = jnp.arctan2(w[..., 2], w[..., 1])
+    # guarded atan2: its vjp is x/(x^2+y^2) -> NaN at (0, 0), which miss
+    # lanes hit (zero shading frame) — the gate keeps values identical
+    # and zeroes the gradient there (inputs sanitized so the unselected
+    # branch cannot emit NaN either; same pattern as _safe_sqrt)
+    y, z = w[..., 1], w[..., 2]
+    safe = (y * y + z * z) > 1e-18
+    # atan2(0, 1) == atan2(0, 0) == 0, so substituting (1, 0) on unsafe
+    # lanes preserves values exactly while the `where` gates zero their
+    # gradient (and no unsanitized atan2(0,0) exists for debug_nans to
+    # trip on)
+    phi = jnp.arctan2(jnp.where(safe, z, 0.0), jnp.where(safe, y, 1.0))
     return sin_t, cos_t, phi
 
 
@@ -285,6 +323,7 @@ class HairCtx(NamedTuple):
 
 def hair_ctx(mat: HairMaterial, h, wo) -> HairCtx:
     """Precompute the wi-independent part of the BSDF at a shading point."""
+    h = _grad_interior(h)
     gamma_o = _safe_asin(h)
     sin_o, cos_o, phi_o = _angles(wo)
     gamma_t, _T, aps = _shared_terms(mat, h, sin_o, cos_o)

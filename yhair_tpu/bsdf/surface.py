@@ -17,6 +17,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from ..core.safemath import safe_normalize
 import numpy as np
 
 LUM = np.array([0.2126, 0.7152, 0.0722])
@@ -119,8 +121,7 @@ def _ggx_g(cos_o, cos_i, alpha):
 def _ggx_sample_vndf(wo, alpha, u0, u1):
     """Heitz 2018 visible-normal GGX sampling (isotropic). wo.z > 0."""
     vh = jnp.stack([alpha * wo[:, 0], alpha * wo[:, 1], wo[:, 2]], -1)
-    vh = vh / jnp.maximum(jnp.linalg.norm(vh, axis=-1, keepdims=True),
-                          1e-12)
+    vh = safe_normalize(vh)
     lensq = vh[:, 0] ** 2 + vh[:, 1] ** 2
     inv = jax.lax.rsqrt(jnp.maximum(lensq, 1e-24))
     t1 = jnp.where((lensq > 1e-20)[:, None],
@@ -138,8 +139,7 @@ def _ggx_sample_vndf(wo, alpha, u0, u1):
         1.0 - p1 ** 2 - p2 ** 2, 0.0))[:, None] * vh
     h = jnp.stack([alpha * nh[:, 0], alpha * nh[:, 1],
                    jnp.maximum(nh[:, 2], 0.0)], -1)
-    return h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True),
-                           1e-12)
+    return safe_normalize(h)
 
 
 def _ggx_pdf_wi(wo, hv, alpha):
@@ -177,8 +177,7 @@ def surface_f(p: SurfaceMaterial, wo, wi):
 
     wi_r = jnp.where((cos_i < 0)[:, None], _flip_z(wi), wi)
     hv = wo + wi_r
-    hv = hv / jnp.maximum(jnp.linalg.norm(hv, axis=-1, keepdims=True),
-                          1e-12)
+    hv = safe_normalize(hv)
     ch = jnp.sum(wo * hv, -1)
     fh = _fresnel(p, ch)
     d_term = _ggx_d(hv[:, 2], alpha)
@@ -217,8 +216,7 @@ def surface_pdf(p: SurfaceMaterial, wo, wi):
 
     wi_r = jnp.where((cos_i < 0)[:, None], _flip_z(wi), wi)
     hv = wo + wi_r
-    hv = hv / jnp.maximum(jnp.linalg.norm(hv, axis=-1, keepdims=True),
-                          1e-12)
+    hv = safe_normalize(hv)
     pdf_ggx = _ggx_pdf_wi(wo, hv, alpha)
 
     pdf = jnp.where(cos_i > 0, w_diff * pdf_diff + w_spec * pdf_ggx,

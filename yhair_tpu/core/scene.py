@@ -68,6 +68,15 @@ class Scene(NamedTuple):
     env_sin: jax.Array       # (H,) sin(theta) per row
     tex_data: jax.Array      # (P, 3) flattened texel table (core/texture)
     tex_meta: jax.Array      # (T, 3) int32 (offset, H, W); (0,3) = none
+    # cubic Bezier hair curves as FIRST-CLASS primitives (reference
+    # analogue: curve shapes tessellated to lines in yocto's shape layer
+    # [U:libs/yocto/yocto_shape.cpp]; here the integrator intersects the
+    # curve directly — geometry/bezier.py — so gradients reach the 4
+    # control points for strand-geometry inverse rendering)
+    crv_cp: jax.Array = None      # (C, 4, 3) control points; (0,4,3) = none
+    crv_r0: jax.Array = None      # (C,) root radius
+    crv_r1: jax.Array = None      # (C,) tip radius
+    crv_mat_id: jax.Array = None  # (C,) int32 hair-material table id
     accel: object = None     # acceleration structure pytree (Clusters /
                              # DeviceBVH) or None -> brute-force scan;
                              # carried in the Scene so it crosses jit
@@ -94,10 +103,25 @@ class Scene(NamedTuple):
     def n_area_lights(self):
         return self.al_kind.shape[0]
 
+    @property
+    def n_curves(self):
+        return 0 if self.crv_cp is None else self.crv_cp.shape[0]
+
 
 def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
     """Convert an oracle-format scene dict into device arrays."""
-    p0, p1, r0, r1 = scene["segments"]
+    if scene.get("segments") is not None and len(scene["segments"][0]):
+        p0, p1, r0, r1 = scene["segments"]
+    else:
+        # curves-only / prop-only scenes: ONE far-away zero-radius
+        # segment instead of empty arrays — 0-sized jit inputs trip an
+        # XLA buffer-count bug on re-execution, and integrator gathers
+        # stay trivially in-bounds. NON-degenerate (p1 != p0): a
+        # zero-length segment makes ||p1 - p0|| gradients NaN through
+        # unselected `where` branches in the shading frame.
+        p0 = np.full((1, 3), 1e8)
+        p1 = p0 + np.array([[1.0, 0.0, 0.0]])
+        r0 = r1 = np.zeros((1,))
     segs = Segments.make(p0, p1, r0, r1, dtype=dtype)
     if scene.get("hair_materials"):
         # per-shape hair-material TABLE: leaves get a leading (Mh,) dim,
@@ -184,7 +208,30 @@ def from_dict(scene: dict, dtype=jnp.float32) -> Scene:
         **_env_map_arrays(scene.get("env_map"), dtype),
         **dict(zip(("tex_data", "tex_meta"), texture.flatten_textures(
             [t["data"] for t in scene.get("textures", [])], dtype))),
+        **_curve_arrays(scene.get("curves"), dtype),
     )
+
+
+def _curve_arrays(curves, dtype):
+    """scene["curves"] = {"cp": (C, 4, 3), "r0": (C,), "r1": (C,),
+    "mat_id": optional (C,) int hair-material ids} — first-class cubic
+    Bezier strands (intersected directly, geometry/bezier.py)."""
+    if not curves:
+        return {"crv_cp": jnp.zeros((0, 4, 3), dtype),
+                "crv_r0": jnp.zeros((0,), dtype),
+                "crv_r1": jnp.zeros((0,), dtype),
+                "crv_mat_id": jnp.zeros((0,), jnp.int32)}
+    cp = np.asarray(curves["cp"], np.float64)
+    assert cp.ndim == 3 and cp.shape[1:] == (4, 3), cp.shape
+    c = cp.shape[0]
+    mid = curves.get("mat_id")
+    return {"crv_cp": jnp.asarray(cp, dtype),
+            "crv_r0": jnp.asarray(np.broadcast_to(
+                np.asarray(curves["r0"], np.float64), (c,)), dtype),
+            "crv_r1": jnp.asarray(np.broadcast_to(
+                np.asarray(curves["r1"], np.float64), (c,)), dtype),
+            "crv_mat_id": (jnp.zeros((c,), jnp.int32) if mid is None
+                           else jnp.asarray(mid, jnp.int32))}
 
 
 def _env_map_arrays(env_map, dtype):

@@ -34,6 +34,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ..core.safemath import safe_normalize
+
 INF = jnp.float32(1e30)
 
 
@@ -53,61 +55,48 @@ def bezier_deriv(cp, t):
                   + t ** 2 * (cp[..., 3, :] - cp[..., 2, :]))
 
 
-@functools.partial(jax.jit, static_argnames=("depth", "chunk"))
-def nearest_hit(o, d, cp, r0, r1, depth=3, t_min=1e-4, chunk=512):
+def tessellate(cp, r0, r1, depth=3):
+    """On-the-fly chord tessellation: cp (C, 4, 3) -> per-chord arrays
+    (p0, p1 (C*L, 3); ra, rb (C*L,)) with radius lerped along the GLOBAL
+    curve parameter — identical leaf geometry to oracle
+    bezier_to_segments(n_seg=2^depth)."""
+    import numpy as np
+    n_leaf = 1 << depth
+    # np (not jnp) linspace: an eagerly-created jax array inside a traced
+    # function becomes a LIFTED executable constant, and jaxlib 0.9's
+    # re-execution fastpath drops lifted consts (buffer-count mismatch);
+    # a numpy literal embeds in the HLO instead
+    ts = np.linspace(0.0, 1.0, n_leaf + 1, dtype=np.float32)
+    pts = bezier_point(cp[:, None, :, :], jnp.broadcast_to(
+        ts[None, :], (cp.shape[0], n_leaf + 1)))        # (C, L+1, 3)
+    p0 = pts[:, :-1].reshape(-1, 3)                      # (C*L, 3)
+    p1 = pts[:, 1:].reshape(-1, 3)
+    rr = r0[:, None] + (r1 - r0)[:, None] * ts[None, :]  # (C, L+1)
+    return p0, p1, rr[:, :-1].reshape(-1), rr[:, 1:].reshape(-1)
+
+
+# NOTE: deliberately NOT @jax.jit-wrapped, and implemented on the shared
+# segments scan: the previous dense (rays x all-chords) formulation here
+# triggered a jaxlib 0.9 buffer-count mismatch on RE-execution of an
+# enclosing jitted train step ("Execution supplied N buffers but
+# compiled program expected M"); routing through seg.nearest_hit (the
+# formulation every other search uses, proven across the suite) avoids
+# the miscompiling pattern and keeps one closest-approach code path.
+def nearest_hit(o, d, cp, r0, r1, depth=3, t_min=1e-4, chunk=2048):
     """Closest hit of rays (R, 3) against curves cp (C, 4, 3).
 
     r0, r1: (C,) root/tip radii (lerped along the curve parameter).
     Returns (t (R,), curve (R,) int32, u (R,) curve param, hit (R,)).
     Matches oracle/bezier.py:intersect_curves(depth=depth, refine=0).
     """
+    from . import segments as seg
+
     n_leaf = 1 << depth
-    ts = jnp.linspace(0.0, 1.0, n_leaf + 1)
-    pts = bezier_point(cp[:, None, :, :], jnp.broadcast_to(
-        ts[None, :], (cp.shape[0], n_leaf + 1)))        # (C, L+1, 3)
-    p0 = pts[:, :-1].reshape(-1, 3)                      # (C*L, 3)
-    p1 = pts[:, 1:].reshape(-1, 3)
-    rr = r0[:, None] + (r1 - r0)[:, None] * ts[None, :]  # (C, L+1)
-    ra = rr[:, :-1].reshape(-1)
-    rb = rr[:, 1:].reshape(-1)
-
-    def ray_chunk(args):
-        oc, dc = args                                    # (chunk, 3)
-        d2 = p1 - p0                                     # (S, 3)
-        w0 = oc[:, None, :] - p0[None]                   # (chunk, S, 3)
-        b = jnp.sum(dc[:, None, :] * d2[None], -1)
-        c = jnp.maximum(jnp.sum(d2 * d2, -1), 1e-30)[None]
-        dd = jnp.sum(dc[:, None, :] * w0, -1)
-        e = jnp.sum(d2[None] * w0, -1)
-        denom = jnp.maximum(c - b * b, 1e-12)
-        u = jnp.clip((e - b * dd) / denom, 0.0, 1.0)
-        s = b * u - dd
-        off = (oc[:, None, :] + s[..., None] * dc[:, None, :]
-               - (p0[None] + u[..., None] * d2[None]))
-        dist2 = jnp.sum(off * off, -1)
-        r = ra[None] + (rb - ra)[None] * u
-        ok = (dist2 <= r * r) & (s > t_min)
-        s_m = jnp.where(ok, s, INF)
-        j = jnp.argmin(s_m, axis=1)
-        t = jnp.take_along_axis(s_m, j[:, None], 1)[:, 0]
-        ul = jnp.take_along_axis(u, j[:, None], 1)[:, 0]
-        return t, j.astype(jnp.int32), ul
-
-    n = o.shape[0]
-    if n <= chunk:
-        t, j, ul = ray_chunk((o, d))
-    else:
-        pad = (-n) % chunk
-        o_p = jnp.concatenate([o, jnp.full((pad, 3), 1e8, o.dtype)])
-        d_p = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
-        t, j, ul = jax.lax.map(
-            ray_chunk, (o_p.reshape(-1, chunk, 3),
-                        d_p.reshape(-1, chunk, 3)))
-        t = t.reshape(-1)[:n]
-        j = j.reshape(-1)[:n]
-        ul = ul.reshape(-1)[:n]
-
-    hit = t < INF
+    p0, p1, ra, rb = tessellate(cp, r0, r1, depth)
+    t, j, hit = seg.nearest_hit(o, d, seg.Segments(p0, p1, ra, rb),
+                                t_min=t_min, chunk=chunk)
+    # recover the chord-local parameter for the winning chord
+    _, ul, _ = seg._closest_approach(o, d, p0[j], p1[j])
     curve = j // n_leaf
     leaf = (j % n_leaf).astype(t.dtype)
     u_glob = (leaf + ul) / n_leaf
@@ -120,14 +109,12 @@ def shade_frame(o, d, t, cp, curve, u):
     Returns (position (on the ray), tangent, frame_y, frame_z, off)
     with the tangent from the curve derivative at u."""
     cpc = cp[curve]
-    tan = bezier_deriv(cpc, u)
-    tan = tan / jnp.maximum(
-        jnp.linalg.norm(tan, axis=-1, keepdims=True), 1e-20)
+    tan = safe_normalize(bezier_deriv(cpc, u), eps=1e-20)
     pos = o + t[:, None] * d
     axis_pt = bezier_point(cpc, u)
     off = pos - axis_pt
-    z = -(d - jnp.sum(d * tan, -1, keepdims=True) * tan)
-    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-20)
+    z = safe_normalize(
+        -(d - jnp.sum(d * tan, -1, keepdims=True) * tan), eps=1e-20)
     y = jnp.cross(z, tan)
     return pos, tan, y, z, off
 

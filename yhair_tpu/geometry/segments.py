@@ -20,6 +20,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..core.safemath import safe_normalize
+
 INF = jnp.float32(1e30)
 
 
@@ -180,11 +182,9 @@ def shade_info(o, d, t, idx, segs: Segments) -> SegmentShade:
     axis_pt = p0 + u[:, None] * (p1 - p0)
     off = hit_pos - axis_pt
     radius = r0 + (r1 - r0) * u
-    tangent = p1 - p0
-    tangent = tangent / jnp.maximum(
-        jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-12)
-    z = -(d - jnp.sum(d * tangent, -1, keepdims=True) * tangent)
-    z = z / jnp.maximum(jnp.linalg.norm(z, axis=-1, keepdims=True), 1e-12)
+    tangent = safe_normalize(p1 - p0)
+    z = safe_normalize(
+        -(d - jnp.sum(d * tangent, -1, keepdims=True) * tangent))
     y = jnp.cross(z, tangent)
     h = jnp.clip(jnp.sum(off * y, -1) / jnp.maximum(radius, 1e-12),
                  -1.0, 1.0)

@@ -245,7 +245,31 @@ def load(path):
     if "env_map" in doc:
         # environment map from any texture source (incl. {'file': x.hdr})
         scene["env_map"] = _resolve_texture(doc["env_map"], base)["data"]
+    if "curves" in doc:
+        scene["curves"] = _resolve_curves(doc["curves"])
     return scene, camera
+
+
+def _resolve_curves(cv):
+    """First-class cubic Bezier strands (core/scene._curve_arrays):
+    either a LIST of {"cp": 4x3, "r0": r, "r1": r, "mat_id": i} entries
+    or the array form {"cp": (C,4,3), "r0": (C,), "r1": (C,), ...}."""
+    if isinstance(cv, list):
+        out = {"cp": np.asarray([c["cp"] for c in cv], np.float64),
+               "r0": np.asarray([c.get("r0", c.get("radius", 1e-3))
+                                 for c in cv], np.float64),
+               "r1": np.asarray([c.get("r1", c.get("radius", 1e-3))
+                                 for c in cv], np.float64)}
+        if any("mat_id" in c for c in cv):
+            out["mat_id"] = np.asarray([c.get("mat_id", 0) for c in cv],
+                                       np.int64)
+        return out
+    out = {"cp": np.asarray(cv["cp"], np.float64),
+           "r0": np.asarray(cv["r0"], np.float64),
+           "r1": np.asarray(cv["r1"], np.float64)}
+    if cv.get("mat_id") is not None:
+        out["mat_id"] = np.asarray(cv["mat_id"], np.int64)
+    return out
 
 
 def _material_json(m):
@@ -327,6 +351,13 @@ def save(path, scene, camera, strands_ply="strands.ply"):
         img_io.save_pfm(os.path.join(base, "env_map.pfm"),
                         np.asarray(em, np.float64))
         doc["env_map"] = {"file": "env_map.pfm"}
+
+    if scene.get("curves"):
+        cv = scene["curves"]
+        doc["curves"] = {k: np.asarray(cv[k]).tolist()
+                         for k in ("cp", "r0", "r1") if k in cv}
+        if cv.get("mat_id") is not None:
+            doc["curves"]["mat_id"] = np.asarray(cv["mat_id"]).tolist()
 
     def clean(x):
         if isinstance(x, dict):

@@ -584,30 +584,26 @@ def _pad_rays(o, d, block, extra=None):
     return o, d, extra, n
 
 
-# v2 (subgroup traversal, ops/intersect_group.py) measured SLOWER than
-# v1 end-to-end on the hairball bench (full trace 1243 ms vs 572 ms):
-# per-visit fixed overhead (~0.5 us: loop control, dynamic tile index,
-# scalar/vector round-trips) dominates, so 8x more (16,128) visits lose
-# to v1's shared (128,128) block visits. Kept behind YHAIR_V2=1 for
-# further work; v1 is the default.
-_FORCE_V2 = bool(int(__import__("os").environ.get("YHAIR_V2", "0")))
+# NEGATIVE RESULT (kept as a doc note; the code was retired in r5): a
+# "v2" variant traversed per-SUBGROUP (16-ray) cluster lists instead of
+# per-128-ray-block lists, cutting cluster visits ~4x on paper. Measured
+# end-to-end on the v5e hairball bench it was 2.2x SLOWER (full trace
+# 1243 ms vs 572 ms): per-visit fixed overhead (~0.5 us of loop control,
+# dynamic tile indexing and scalar/vector round-trips) dominates, so 8x
+# more (16, 128) visits lose to v1's shared (128, 128) block visits.
+# Narrower-than-block traversal only pays off if the per-visit overhead
+# is amortized over multiple clusters per iteration.
 
 
 def make_nearest_fn(cl: Clusters, block=BLOCK, interpret=False,
                     stream=None):
     """Adapter for integrator.intersect_scene's nearest_segments hook.
     Pads the ray batch up to a block multiple when needed."""
-    use_stream = _use_stream(cl) if stream is None else stream
 
     def fn(o, d):
         o, d, _, n = _pad_rays(o, d, block)
-        if _FORCE_V2 and not use_stream:
-            from .intersect_group import nearest_hit_grouped
-            t, idx, hit = nearest_hit_grouped(o, d, cl, block=block,
-                                              interpret=interpret)
-        else:
-            t, idx, hit = nearest_hit(o, d, cl, block=block,
-                                      interpret=interpret, stream=stream)
+        t, idx, hit = nearest_hit(o, d, cl, block=block,
+                                  interpret=interpret, stream=stream)
         return t[:n], idx[:n], hit[:n]
     return fn
 
@@ -615,16 +611,10 @@ def make_nearest_fn(cl: Clusters, block=BLOCK, interpret=False,
 def make_occluded_fn(cl: Clusters, block=BLOCK, interpret=False,
                      stream=None):
     """Occlusion adapter: fn(o, d, t_max) -> bool (N,)."""
-    use_stream = _use_stream(cl) if stream is None else stream
 
     def fn(o, d, t_max):
         o, d, t_max, n = _pad_rays(o, d, block, t_max)
-        if _FORCE_V2 and not use_stream:
-            from .intersect_group import any_hit_grouped
-            occ = any_hit_grouped(o, d, t_max, cl, block=block,
-                                  interpret=interpret)
-        else:
-            occ = any_hit(o, d, t_max, cl, block=block,
-                          interpret=interpret, stream=stream)
+        occ = any_hit(o, d, t_max, cl, block=block,
+                      interpret=interpret, stream=stream)
         return occ[:n]
     return fn
