@@ -50,6 +50,9 @@ def build_parser():
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of steps 2-4 "
                         "into this directory (view with TensorBoard)")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise at the first NaN-producing op "
+                        "(utils/debug.py)")
     p.add_argument("--platform", default=None)
     return p
 
@@ -58,6 +61,9 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     from .common import build_device_scene, force_platform, load_scene
     force_platform(args.platform)
+    if args.debug_nans:
+        from ..utils.debug import enable_debug_nans
+        enable_debug_nans()
 
     import jax
     import jax.numpy as jnp

@@ -35,6 +35,9 @@ def build_parser():
     p.add_argument("--no-bvh", action="store_true")
     p.add_argument("--accel", choices=["auto", "cluster", "bvh", "brute"],
                    default="auto", help="intersection backend")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise at the first NaN-producing op "
+                        "(utils/debug.py)")
     p.add_argument("--platform", default=None,
                    help="force jax platform (e.g. cpu)")
     return p
@@ -45,6 +48,9 @@ def main(argv=None):
     from .common import (build_device_scene, force_platform, load_scene,
                          progressive_render)
     force_platform(args.platform)
+    if args.debug_nans:
+        from ..utils.debug import enable_debug_nans
+        enable_debug_nans()
 
     from ..io import image as img_io
 

@@ -244,6 +244,9 @@ def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
             sid = jnp.tile(jnp.arange(spp, dtype=jnp.int32), pixel_batch)
         tgt_rows = target.reshape(-1, 3)[pid]
         loss, grads = compute(params, scene, cam, key, pid, sid, tgt_rows)
+        from ..utils import debug
+        debug.assert_finite(loss, "train_step loss")
+        debug.assert_finite(grads, "train_step grads")
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, grads
