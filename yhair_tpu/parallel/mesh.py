@@ -155,9 +155,22 @@ def render_fn(width, height, spp, max_depth=6, chunk=2048,
     return render
 
 
+# valid ranges for the physical hair parameters: gradient steps must not
+# leave the model's domain (beta^20 terms explode past 1; negative
+# absorption is meaningless) — applied after every optimizer update
+PARAM_BOUNDS = {
+    "beta_m": (1e-3, 1.0),
+    "beta_n": (1e-3, 1.0),
+    "alpha": (0.0, 0.2),
+    "sigma_a": (0.0, 20.0),
+    "eta": (1.0, 2.0),
+}
+
+
 def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
                   nearest_segments=None, mesh: Mesh | None = None,
-                  optimizer=None, pixel_batch=None, edge_softness=0.0):
+                  optimizer=None, pixel_batch=None, edge_softness=0.0,
+                  sanitize_grads=True, param_bounds=True):
     """Build an inverse-rendering step:
     (params, opt_state, scene, cam, target, key) ->
         (params, opt_state, loss, grads)
@@ -247,8 +260,20 @@ def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
         from ..utils import debug
         debug.assert_finite(loss, "train_step loss")
         debug.assert_finite(grads, "train_step grads")
+        if sanitize_grads:
+            # one degenerate sample in a minibatch must not poison the
+            # whole run (standard differentiable-rendering guard; a
+            # single inf/NaN component otherwise NaNs Adam's moments
+            # permanently). YHAIR_CHECK_FINITE=1 still surfaces the
+            # event via the asserts above.
+            grads = jax.tree.map(
+                lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        if param_bounds:
+            params = {k: (jnp.clip(v, *PARAM_BOUNDS[k])
+                          if k in PARAM_BOUNDS else v)
+                      for k, v in params.items()}
         return params, opt_state, loss, grads
 
     step.optimizer = optimizer
