@@ -85,8 +85,11 @@ def main():
               "sigma_a": sc2.hair.sigma_a}
     key = jax.random.key(0)
     perm, _inv = pmesh.tile_pixel_permutation(width, height)
-    pid_all = np.repeat(perm, spp).astype(np.int32)
-    sid_all = np.tile(np.arange(spp, dtype=np.int32), width * height)
+    # pre-staged ON DEVICE: a host->device upload per batch serializes
+    # the dispatch stream on the tunneled runtime
+    pid_all = jnp.asarray(np.repeat(perm, spp).astype(np.int32))
+    sid_all = jnp.asarray(np.tile(np.arange(spp, dtype=np.int32),
+                                  width * height))
 
     from yhair_tpu.utils.hostsync import sync as host_sync
 
@@ -105,16 +108,14 @@ def main():
 
     # warm up / compile
     _log("compiling forward")
-    run(jit_fwd, lambda s: (sc2, jnp.asarray(pid_all[s]),
-                            jnp.asarray(sid_all[s]), key), 1)
+    run(jit_fwd, lambda s: (sc2, pid_all[s], sid_all[s], key), 1)
     _log("compiling forward+backward")
-    run(jit_fwdbwd, lambda s: (params, jnp.asarray(pid_all[s]),
-                               jnp.asarray(sid_all[s]), key), 1)
+    run(jit_fwdbwd, lambda s: (params, pid_all[s], sid_all[s], key), 1)
     _log("timing")
 
     t0 = time.time()
-    run(jit_fwdbwd, lambda s: (params, jnp.asarray(pid_all[s]),
-                               jnp.asarray(sid_all[s]), key), n_batches)
+    run(jit_fwdbwd, lambda s: (params, pid_all[s], sid_all[s], key),
+        n_batches)
     t_fwdbwd = time.time() - t0
 
     total_rays = n_rays * rays_per_camera_ray

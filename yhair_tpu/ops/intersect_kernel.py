@@ -49,7 +49,8 @@ BLOCK = 128
 MAX_IDS = 2048
 
 
-def _block_cluster_lists(o, d, cl: Clusters, block, t_max=None):
+def _block_cluster_lists(o, d, cl: Clusters, block, t_max=None,
+                         exclude_below=None, return_key=False):
     """Phase 1: per-block front-to-back hit-cluster ids + counts.
 
     o, d: (N, 3); t_max: optional per-ray (N,) upper bound — a cluster
@@ -58,7 +59,16 @@ def _block_cluster_lists(o, d, cl: Clusters, block, t_max=None):
     cluster entered at tn <= t). Without a bound every cluster along the
     ray's INFINITE extent is listed, which is what makes interior-ray
     lists long.
-    Returns (ids (nb, C) int32, counts (nb,) int32).
+    exclude_below: optional (nb,) per-block entry-distance threshold —
+    clusters with tn_block STRICTLY below it are dropped. A previous
+    prefix pass visited exactly the front-to-back entries up to its
+    count, i.e. every cluster with tn below (and possibly tied at) the
+    last visited entry's tn; dropping the strictly-below set removes
+    revisits (ties conservatively revisit) while the pass seeds carry
+    the previous result (see nearest_hit's two-pass note).
+    Returns (ids (nb, C) int32, counts (nb,) int32[, key (nb, C)]);
+    key (with return_key) is the front-to-back sort key: tn_block where
+    the block hits the cluster, +inf otherwise.
     """
     n = o.shape[0]
     c = cl.n_clusters
@@ -105,13 +115,29 @@ def _block_cluster_lists(o, d, cl: Clusters, block, t_max=None):
         block_hit, tn_block = jax.lax.map(chunk_masks, resh)
         block_hit = block_hit.reshape(nb, c)
         tn_block = tn_block.reshape(nb, c)
+    if exclude_below is not None:
+        block_hit = block_hit & ~(tn_block < exclude_below[:, None])
     counts = block_hit.sum(axis=1).astype(jnp.int32)
     # FRONT-TO-BACK: hit clusters sorted by conservative entry distance
     # (missed ones sort to the back with +inf keys) — improves the
     # in-kernel `s < t_best` rejection rate
     key = jnp.where(block_hit, tn_block, INF)
     order = jnp.argsort(key, axis=1).astype(jnp.int32)
+    if return_key:
+        return order, counts, key
     return order, counts
+
+
+def _visited_threshold(key, ids, counts, n_visited):
+    """Per-block tn threshold under which every cluster was visited by a
+    prefix pass over the first min(counts, n_visited) list entries: the
+    tn of the LAST visited entry (clusters strictly below it are all
+    inside the prefix). -inf where the prefix visited nothing."""
+    n_vis = jnp.minimum(counts, n_visited)
+    last = jnp.take_along_axis(
+        ids, jnp.maximum(n_vis - 1, 0)[:, None], axis=1)
+    thresh = jnp.take_along_axis(key, last, axis=1)[:, 0]
+    return jnp.where(n_vis > 0, thresh, -jnp.inf)
 
 
 def _segment_test(o, d, tc, t_cap):
@@ -192,7 +218,7 @@ def _hit_kernel(counts_ref, o_ref, d_ref, t0_ref, i0_ref,
         t_seed = t0_ref[:, :]                             # (block, 1)
         lane = jax.lax.broadcasted_iota(jnp.int32, (block, k), 1)
 
-        def body(i, carry):
+        def visit(i, carry):
             t_lane, idx_lane, oid_lane = carry            # (block,k) each
             cid = cid_of(i)
             # the candidate bound stays the PASS SEED (not tightened in
@@ -208,6 +234,18 @@ def _hit_kernel(counts_ref, o_ref, d_ref, t0_ref, i0_ref,
             idx_lane = jnp.where(better, cid * k + lane, idx_lane)
             return t_lane, idx_lane, oid_lane
 
+        def body2(i2, carry):
+            # 4-wide unrolled visits (VMEM-resident tiles only): cuts
+            # loop-control overhead and widens the scheduling window
+            # (measured depth-1 nearest 21.1 -> 15.4 ms; 8-wide flat).
+            # The tail REVISITS the last entry (min-updates are
+            # idempotent, so repeats cannot change the winner).
+            i = 4 * i2
+            carry = visit(i, carry)
+            for u_ in (1, 2, 3):
+                carry = visit(jnp.minimum(i + u_, n_hit - 1), carry)
+            return carry
+
         # NOTE: an early-termination while_loop (stop when the next
         # front-to-back cluster starts beyond max(t_best)) measured ~2x
         # SLOWER here: a block almost always contains at least one miss
@@ -217,8 +255,13 @@ def _hit_kernel(counts_ref, o_ref, d_ref, t0_ref, i0_ref,
         init = (jnp.full((block, k), 1e30, jnp.float32),
                 jnp.zeros((block, k), jnp.int32),
                 jnp.full((block, k), 3.4e38, jnp.float32))
-        t_lane, idx_lane, oid_lane = jax.lax.fori_loop(0, n_hit, body,
-                                                       init)
+        if stream:
+            # the double-buffered DMA sequence must see each index once
+            t_lane, idx_lane, oid_lane = jax.lax.fori_loop(
+                0, n_hit, visit, init)
+        else:
+            t_lane, idx_lane, oid_lane = jax.lax.fori_loop(
+                0, (n_hit + 3) // 4, body2, init)
 
         # ONE cross-lane lexicographic reduction, then merge the pass
         # seed (pass 1: INF; pass 2: the prefix result) the same way —
@@ -303,12 +346,30 @@ def _any_kernel(counts_ref, o_ref, d_ref, tcap_ref, ids_hbm, tc_ref,
             ok, _, _ = _segment_test(o, d, get_tile(i, cid), t_cap)
             return jnp.maximum(occ_lane, ok.astype(jnp.int32))
 
-        def body(carry):
-            i, occ_lane = carry
-            step = jnp.minimum(8, n_hit - i)
-            occ_lane = jax.lax.fori_loop(
-                0, step, lambda j, ol: visit(i + j, ol), occ_lane)
-            return i + step, occ_lane
+        if stream:
+            def body(carry):
+                i, occ_lane = carry
+                step = jnp.minimum(8, n_hit - i)
+                occ_lane = jax.lax.fori_loop(
+                    0, step, lambda j, ol: visit(i + j, ol), occ_lane)
+                return i + step, occ_lane
+        else:
+            def body(carry):
+                # 4-wide unrolled visits (resident tiles; clamped
+                # tail revisits — max-updates are idempotent)
+                i, occ_lane = carry
+                step = jnp.minimum(8, n_hit - i)
+
+                def pair(j2, ol):
+                    j = i + 4 * j2
+                    ol = visit(j, ol)
+                    for u_ in (1, 2, 3):
+                        ol = visit(jnp.minimum(j + u_, n_hit - 1), ol)
+                    return ol
+
+                occ_lane = jax.lax.fori_loop(0, (step + 3) // 4, pair,
+                                             occ_lane)
+                return i + step, occ_lane
 
         def cond(carry):
             i, occ_lane = carry
@@ -435,10 +496,14 @@ def _common_call(kernel, ids, counts, extra_in, extra_in_specs, out_shape,
 
 # prefix pass length: front-to-back clusters visited to seed the per-ray
 # upper bound before the t_max-pruned main pass (see nearest_hit).
-# Swept on the v5e hairball bench: fwd(depth 4) 738/685/626/581/558 ms at
-# K = 16/32/64/96/128 — the prefix loop is overflow-free and cheap, so a
-# bigger seed pass that resolves more rays wins. YHAIR_K_PREFIX overrides.
-K_PREFIX = int(__import__("os").environ.get("YHAIR_K_PREFIX", "128"))
+# Re-swept on the v5e depth-1 hairball wavefront AFTER pass 2 gained the
+# visited-cluster exclusion: nearest_hit 40.5/29.5/25.5/27.9/37.7 ms at
+# K = 16/32/64/96/128 — with revisits eliminated, a small seed pass that
+# resolves most rays cheaply and leaves the rest to the per-ray-pruned,
+# deduplicated pass 2 wins (the old sweep, 558 ms fwd best at K=128,
+# predates the exclusion: then pass 2 re-paid the whole prefix).
+# YHAIR_K_PREFIX overrides.
+K_PREFIX = int(__import__("os").environ.get("YHAIR_K_PREFIX", "64"))
 
 # any-hit prefix length (see any_hit): shadow rays in dense hair occlude
 # almost immediately, so a short pass resolves ~97% of rays and the
@@ -492,7 +557,8 @@ def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False,
         stream = _use_stream(cl)
 
     k_prefix = min(K_PREFIX, k_cap)
-    ids, counts = _block_cluster_lists(o, d, cl, block)
+    ids, counts, key1 = _block_cluster_lists(o, d, cl, block,
+                                             return_key=True)
     if c <= k_prefix:
         seeds = (jnp.full((n, 1), INF, jnp.float32),
                  jnp.zeros((n, 1), jnp.int32),
@@ -507,8 +573,14 @@ def nearest_hit(o, d, cl: Clusters, block=BLOCK, interpret=False,
             o, d, seeds, ids[:, :k_prefix],
             jnp.minimum(counts, k_prefix), cl, block, interpret,
             max(128, k_prefix), stream)
+        # pass 2 EXCLUDES the clusters pass 1 already visited (cheap
+        # per-block tn threshold, not a scatter): the (t1, i1, oid1)
+        # seeds carry their result, so revisits cannot change the
+        # winner and only burn kernel visits
+        thresh = _visited_threshold(key1, ids, counts, k_prefix)
         ids2, counts2 = _block_cluster_lists(o, d, cl, block,
-                                             t_max=t1[:, 0])
+                                             t_max=t1[:, 0],
+                                             exclude_below=thresh)
         t, idx, _ = _hit_pass(o, d, (t1, i1, oid1), ids2, counts2, cl,
                               block, interpret, k_cap, stream)
     t = t[:, 0]
@@ -547,7 +619,8 @@ def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False,
 
     # per-ray t_max pruning keeps shadow-ray cluster lists short (only
     # clusters entered before the light can occlude)
-    ids, counts = _block_cluster_lists(o, d, cl, block, t_max=t_max)
+    ids, counts, key1 = _block_cluster_lists(o, d, cl, block,
+                                             t_max=t_max, return_key=True)
     if c <= K_ANY_PREFIX:
         return run_pass(o, t_max, ids, counts, k_cap)
 
@@ -566,9 +639,13 @@ def any_hit(o, d, t_max, cl: Clusters, block=BLOCK, interpret=False,
     # neutralize resolved rays STRUCTURALLY: t_max below T_MIN excludes
     # them from both the list rebuild (tn <= t_max, tn >= T_MIN) and the
     # kernel's s <= t_cap test, at any scene scale (ADVICE r3: the old
-    # origin -> 1e8 displacement relied on geometric misses)
+    # origin -> 1e8 displacement relied on geometric misses). Clusters
+    # pass A already visited are excluded outright (occ_a holds their
+    # verdict for every ray of the block).
     tmax_b = jnp.where(done_ray, 0.0, t_max)
-    ids_b, counts_b = _block_cluster_lists(o, d, cl, block, t_max=tmax_b)
+    thresh = _visited_threshold(key1, ids, counts, K_ANY_PREFIX)
+    ids_b, counts_b = _block_cluster_lists(o, d, cl, block, t_max=tmax_b,
+                                           exclude_below=thresh)
     occ_b = run_pass(o, tmax_b, ids_b, counts_b, k_cap)
     return occ_a | occ_b
 
