@@ -73,7 +73,7 @@ def _chord_test(o, d, p0, p1, ra, rb, t_min):
 
 
 def intersect_curves(ray_o, ray_d, cp, r0, r1, depth=3, t_min=1e-4,
-                     refine=0):
+                     refine=0, chord_frame=False):
     """Closest hit of each ray against a set of cubic Bezier strands.
 
     ray_o, ray_d: (R, 3); cp: (C, 4, 3); r0, r1: (C,) root/tip radius
@@ -81,10 +81,17 @@ def intersect_curves(ray_o, ray_d, cp, r0, r1, depth=3, t_min=1e-4,
     chords = 2^depth). refine: optional Newton iterations on the curve
     parameter at the winning chord (0 keeps chord-exact parity with the
     fixed-depth JAX path).
+    chord_frame: compute shading attributes (tangent, frames, h, radius
+    interpolation point) from the WINNING CHORD's endpoints instead of
+    the exact curve derivative — exactly what the JAX integrator's
+    merged segment view does, so oracle/JAX renders of curve scenes
+    stay sample-for-sample comparable (integrator/path.py curves
+    branch). Requires refine == 0.
 
     Returns dict: hit (R,), t, curve (R,) int, u (R,) curve param,
     h in [-1,1], tangent/frame_y/frame_z (R, 3), position (R, 3).
     """
+    assert not (chord_frame and refine), "chord_frame implies refine=0"
     ray_o = np.asarray(ray_o, np.float64)
     ray_d = np.asarray(ray_d, np.float64)
     cp = np.asarray(cp, np.float64)
@@ -164,10 +171,25 @@ def intersect_curves(ray_o, ray_d, cp, r0, r1, depth=3, t_min=1e-4,
         u_out[ri] = best_u
 
     hit = t_out < INF
-    tan = bezier_deriv(cp[curve_out], u_out)
-    tan = tan / np.maximum(np.linalg.norm(tan, axis=-1, keepdims=True),
-                           1e-300)
-    axis_pt = bezier_point(cp[curve_out], u_out)
+    if chord_frame:
+        # chord-based attributes: identical leaf geometry to the JAX
+        # integrator (and to tessellated segments)
+        n_leaf = 1 << depth
+        leaf = np.clip((u_out * n_leaf).astype(np.int64), 0, n_leaf - 1)
+        ta = leaf / n_leaf
+        tb = (leaf + 1) / n_leaf
+        q0 = bezier_point(cp[curve_out], ta)
+        q1 = bezier_point(cp[curve_out], tb)
+        ul = u_out * n_leaf - leaf
+        tan = q1 - q0
+        tan = tan / np.maximum(
+            np.linalg.norm(tan, axis=-1, keepdims=True), 1e-300)
+        axis_pt = q0 + ul[:, None] * (q1 - q0)
+    else:
+        tan = bezier_deriv(cp[curve_out], u_out)
+        tan = tan / np.maximum(np.linalg.norm(tan, axis=-1, keepdims=True),
+                               1e-300)
+        axis_pt = bezier_point(cp[curve_out], u_out)
     pos = ray_o + np.where(hit, t_out, 0.0)[:, None] * ray_d
     off = pos - axis_pt
     z = -(ray_d - np.sum(ray_d * tan, axis=-1, keepdims=True) * tan)

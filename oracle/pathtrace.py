@@ -257,6 +257,30 @@ def _intersect_scene(scene, o, d):
         seg_r = (hs["u"] * (r1 - r0)[hs["seg"]] + r0[hs["seg"]])
         best["radius"] = np.where(closer, seg_r, best["radius"])
         best["seg_id"] = np.where(closer, hs["seg"], best["seg_id"])
+    if scene.get("curves"):
+        # first-class Bezier strands, chord-frame attributes for parity
+        # with the JAX integrator's curves branch (yhair_tpu
+        # integrator/path.py; oracle/bezier.py chord_frame). Curve hits
+        # shade with the scene's global hair_material (seg_id stays -1;
+        # per-curve mat_id tables are a JAX-side feature).
+        from . import bezier as obez
+
+        cv = scene["curves"]
+        hc = obez.intersect_curves(o, d, cv["cp"], cv["r0"], cv["r1"],
+                                   depth=3, chord_frame=True)
+        closer = hc["hit"] & (hc["t"] < best["t"])
+        best["hit"] |= closer
+        best["t"] = np.where(closer, hc["t"], best["t"])
+        best["mat"] = np.where(closer, 0, best["mat"])
+        for k in ("position", "tangent", "frame_y", "frame_z"):
+            best[k] = np.where(closer[:, None], hc[k], best[k])
+        best["h"] = np.where(closer, hc["h"], best["h"])
+        crv_r = (np.asarray(cv["r0"], np.float64)[hc["curve"]]
+                 * (1.0 - hc["u"])
+                 + np.asarray(cv["r1"], np.float64)[hc["curve"]]
+                 * hc["u"])
+        best["radius"] = np.where(closer, crv_r, best["radius"])
+        best["seg_id"] = np.where(closer, -1, best["seg_id"])
     mat_id = 0
     for si, sph in enumerate(scene.get("spheres") or []):
         hs = geo.intersect_sphere(o, d, np.asarray(sph["center"], np.float64),

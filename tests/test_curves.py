@@ -94,6 +94,27 @@ def test_curve_render_matches_tessellated():
     assert diff.mean() < 2e-3
 
 
+def test_curve_render_matches_oracle():
+    """f64 oracle parity on a curve scene: the oracle's chord-frame
+    curves branch (oracle/pathtrace.py) mirrors the integrator's, so
+    same uniforms -> same image up to f32, with at most a few
+    silhouette-rounding flips."""
+    cp, r0, r1 = _curves(2)
+    scene_d = _scene(curves={"cp": cp, "r0": r0, "r1": r1})
+    res, spp, depth = 24, 2, 2
+    rng = np.random.default_rng(5)
+    u = rng.random((res, res, spp, opt.n_uniform_dims(depth)))
+    img_o = opt.render(scene_d, CAM, u, max_depth=depth)
+    sc = jscene.from_dict(scene_d)
+    cam = jscene.camera_from_dict(CAM)
+    img_j = np.asarray(jpath.render(sc, cam,
+                                    jnp.asarray(u, jnp.float32),
+                                    max_depth=depth, chunk=512))
+    close = np.isclose(img_o, img_j, rtol=2e-3, atol=2e-3)
+    assert close.mean() > 0.995, f"only {close.mean():.4f} close"
+    assert np.abs(img_o - img_j)[close].max() < 2e-2
+
+
 def test_curves_cast_shadows():
     """Occlusion must see curves: a curve between light and plane darkens
     the plane vs the curve-free render somewhere."""
