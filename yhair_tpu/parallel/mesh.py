@@ -266,6 +266,18 @@ def train_step_fn(width, height, spp, max_depth=6, chunk=2048,
             # single inf/NaN component otherwise NaNs Adam's moments
             # permanently). YHAIR_CHECK_FINITE=1 still surfaces the
             # event via the asserts above.
+            #
+            # Root-caused on the chip (config-5 inverse at spec): the
+            # beta_m gradient NaN'd on 5/16 minibatch tiles, but
+            # jax_debug_nans' DE-OPTIMIZED re-execution of the exact
+            # same tile was CLEAN ("jit optimizations causing the
+            # invalid value") — an XLA/Mosaic fusion materializes an
+            # inf*0 the unfused program never forms, and only in the
+            # 3-parameter backward (the beta_m-only backward of the
+            # same rays is finite). Source-level clamps cannot reach a
+            # compiler-introduced intermediate, so this guard is the
+            # correct fix; the recovery it unblocked is committed in
+            # goldens/config5_recovered.json.
             grads = jax.tree.map(
                 lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
